@@ -1,0 +1,175 @@
+"""Riesz pyramid ops (Wadhwa ICCP'14) matching the reference numerics.
+
+Reproduces reference src/processing/magnification/RieszPyramid.cpp:
+  * build_riesz_pyramid     — buildPyramid (:215-238): 9x9 high-pass band gets the
+    Riesz transform (1x5 band kernel + transpose, :66-78); 9x9 2*low-pass band is
+    decimated by plain even-pixel subsampling (:254-278).
+  * phase_difference_and_amplitude — the quaternion conjugate product, quaternion
+    log, NaN patching, and 13x13 sigma=3 amplitude blur (:81-111).
+  * normalize_phase / amplify_level — (:114-144), including the reference's
+    clamped arcCos quirk (x < -1 maps to -1.0, NOT acos(-1); :8-23) and
+    cv::THRESH_TRUNC amplification clamping.
+  * collapse_riesz_pyramid  — nearest-upsample + even-pixel zero-injection +
+    2*low-pass + next octave's high-pass (:304-325).
+
+All arrays are single-channel [H, W] float32 (phase mode magnifies Lab luminance
+only, MagnifyCore.hpp:217-222). Levels are a static-length list (pytree).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from live_video_magnification_tpu.ops.conv import (
+    correlate2d,
+    correlate_cols,
+    correlate_rows,
+    sep_correlate2d,
+)
+from live_video_magnification_tpu.ops.kernels import (
+    AMPLITUDE_BLUR_KERNEL_1D,
+    RIESZ_BAND_KERNEL,
+    RIESZ_HIGHPASS_9x9,
+    RIESZ_LOWPASS_9x9,
+)
+from live_video_magnification_tpu.ops.resize import resize_nearest_even_inject
+from live_video_magnification_tpu.ops.temporal import CompExp
+
+
+class RieszLevel(NamedTuple):
+    """One pyramid level: band-passed octave + its Riesz transform pair."""
+
+    lowpass: jnp.ndarray  # the reference's itsLowpass (the band image)
+    riesz: CompExp        # (real/x, imag/y) Riesz components
+
+
+def riesz_level_sizes(h: int, w: int, levels: int) -> List[Tuple[int, int]]:
+    """Level sizes: ceil-halved per decimation; last level not decimated further."""
+    sizes = []
+    for i in range(levels):
+        sizes.append((h, w))
+        if i < levels - 1:
+            h, w = h // 2 + h % 2, w // 2 + w % 2
+    return sizes
+
+
+def _subsample(x: jnp.ndarray) -> jnp.ndarray:
+    """Plain even-pixel decimation with ceil sizes (RieszPyramid.cpp:254-278)."""
+    return x[..., ::2, ::2]
+
+
+def _band_build(octave: jnp.ndarray) -> RieszLevel:
+    """RieszPyramidLevel::build — Riesz transform of a band image (:66-78)."""
+    r = correlate_rows(octave, RIESZ_BAND_KERNEL)
+    i = correlate_cols(octave, RIESZ_BAND_KERNEL)
+    return RieszLevel(lowpass=octave, riesz=CompExp(r, i))
+
+
+def build_riesz_pyramid(frame: jnp.ndarray, levels: int) -> List[RieszLevel]:
+    """buildPyramid (:215-238): levels-1 band levels + untouched final octave."""
+    pyr = []
+    octave = frame
+    for _ in range(levels - 1):
+        hp = correlate2d(octave, RIESZ_HIGHPASS_9x9)
+        pyr.append(_band_build(hp))
+        lp = correlate2d(octave, 2.0 * RIESZ_LOWPASS_9x9)
+        octave = _subsample(lp)
+    pyr.append(_band_build(octave))
+    return pyr
+
+
+def clamped_arccos(x: jnp.ndarray) -> jnp.ndarray:
+    """The reference's arcCos (:8-23): out-of-range inputs map to +-1.0 — not to
+    acos of the clamp. Load-bearing for bit parity."""
+    safe = jnp.arccos(jnp.clip(x, -1.0, 1.0))
+    return jnp.where(x < -1.0, -1.0, jnp.where(x > 1.0, 1.0, safe))
+
+
+def patch_nans(x: jnp.ndarray) -> jnp.ndarray:
+    """cv::patchNaNs(x, 0): NaN -> 0 (infinities pass through)."""
+    return jnp.where(jnp.isnan(x), 0.0, x)
+
+
+def amplitude_blur(x: jnp.ndarray) -> jnp.ndarray:
+    """GaussianBlur(13x13, sigma=3), reflect-101 (:110)."""
+    return sep_correlate2d(x, AMPLITUDE_BLUR_KERNEL_1D, AMPLITUDE_BLUR_KERNEL_1D)
+
+
+class PhaseResult(NamedTuple):
+    phase_diff: CompExp
+    amplitude: jnp.ndarray
+    amplitude_blurred: jnp.ndarray
+
+
+def phase_difference_and_amplitude(cur: RieszLevel, prior: RieszLevel) -> PhaseResult:
+    """computePhaseDifferenceAndAmplitude (:81-111).
+
+    Quaternion conjugate product cur * conj(prior); its log gives the phase
+    difference split into orientation*(phi); amplitude is sqrt of the quaternion
+    norm, blurred 13x13 sigma=3.
+    """
+    q_real = (
+        cur.lowpass * prior.lowpass
+        + cur.riesz.cos * prior.riesz.cos
+        + cur.riesz.sin * prior.riesz.sin
+    )
+    # (prior.itsRiesz * (itsLowpass * -1)) + (itsRiesz * prior.itsLowpass)
+    q_xy = CompExp(
+        prior.riesz.cos * (-cur.lowpass) + cur.riesz.cos * prior.lowpass,
+        prior.riesz.sin * (-cur.lowpass) + cur.riesz.sin * prior.lowpass,
+    )
+    xy_sq = q_xy.square_sum()
+    q_amp = jnp.sqrt(q_real * q_real + xy_sq)
+    phi = clamped_arccos(q_real / q_amp)
+    xy_norm = jnp.sqrt(xy_sq)
+    orientation = CompExp(q_xy.cos / xy_norm, q_xy.sin / xy_norm)
+    phase_diff = CompExp(
+        patch_nans(orientation.cos * phi), patch_nans(orientation.sin * phi)
+    )
+    amplitude = jnp.sqrt(q_amp)
+    return PhaseResult(phase_diff, amplitude, amplitude_blur(amplitude))
+
+
+def normalize_phase(
+    highpass_iir: CompExp,
+    lowpass_iir: CompExp,
+    amplitude: jnp.ndarray,
+    amplitude_blurred: jnp.ndarray,
+) -> CompExp:
+    """RieszPyramidLevel::normalize (:114-127): amplitude-weighted blur of the
+    band-passed phase change, divided by the blurred amplitude."""
+    change = highpass_iir - lowpass_iir
+    cos = amplitude_blur(change.cos * amplitude) / amplitude_blurred
+    sin = amplitude_blur(change.sin * amplitude) / amplitude_blurred
+    return CompExp(cos, sin)
+
+
+def amplify_level(
+    level: RieszLevel,
+    normalized: CompExp,
+    alpha,
+    threshold,
+) -> jnp.ndarray:
+    """RieszPyramidLevel::amplify (:129-144). Returns the phase-rotated lowpass."""
+    mag = jnp.sqrt(normalized.square_sum())
+    mag2 = jnp.minimum(mag * alpha, threshold)  # cv::THRESH_TRUNC
+    cos_rot = jnp.cos(mag2)
+    sin_rot = jnp.sin(mag2)
+    pair = level.riesz.cos * normalized.cos + level.riesz.sin * normalized.sin
+    pair = patch_nans(pair / mag)
+    return level.lowpass * cos_rot - pair * sin_rot
+
+
+def collapse_riesz_pyramid(lowpasses: List[jnp.ndarray]) -> jnp.ndarray:
+    """collapsePyramid (:304-325): zero-injected 2*low-pass upsample + high-pass
+    of each finer octave, coarsest first."""
+    result = lowpasses[-1]
+    for lvl in range(len(lowpasses) - 2, -1, -1):
+        octave = lowpasses[lvl]
+        up_zero = resize_nearest_even_inject(result, (octave.shape[-2], octave.shape[-1]))
+        lp = correlate2d(up_zero, 2.0 * RIESZ_LOWPASS_9x9)
+        hp = correlate2d(octave, RIESZ_HIGHPASS_9x9)
+        result = lp + hp
+    return result

@@ -1,0 +1,198 @@
+"""Temporal filters: IIR bandpass, ideal FFT bandpass, Butterworth designer, DF-II.
+
+Reproduces reference src/processing/magnification/TemporalFilter.cpp:
+  * iir_filter        — the two-EMA bandpass of motion mode (:9-22)
+  * ideal_bandpass_*  — the row-wise DFT bandpass of color mode (:24-80),
+    including OpenCV's CCS packed-spectrum quirk: the 0/1 mask is written over
+    *packed* float indices and then complex-multiplied by mulSpectrums, so an
+    in-band bin is scaled by (1 + 1i), not 1. The whole operator is linear and
+    diagonal in the Fourier basis, hence circulant: we materialize its first
+    column for the (dynamic) window length L and apply it as one matmul over the
+    time axis — exact for the warm-up window lengths AND MXU-shaped, instead of
+    a CPU FFT per frame.
+  * butterworth       — scipy-compatible digital Butterworth design (:268-297);
+    computed host-side in float64 at config time.
+  * riesz_df2_step    — Direct-Form-II step with quaternionic phase accumulation
+    (:340-351).
+  * optimal_buffer_size — pow2(max(2*fps,16)) rolling window (:82-94).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+# --- motion-mode IIR bandpass -------------------------------------------------------------------
+
+def iir_filter(src, lowpass_hi, lowpass_lo, cutoff_lo, cutoff_hi):
+    """One step of the double-EMA bandpass. Returns (bandpassed, new_hi, new_lo).
+
+    cutoff_lo == 0 is floored to 0.01 exactly like the reference (exact compare).
+    """
+    cutoff_lo = jnp.where(cutoff_lo == 0.0, 0.01, cutoff_lo)
+    new_hi = (1.0 - cutoff_hi) * lowpass_hi + cutoff_hi * src
+    new_lo = (1.0 - cutoff_lo) * lowpass_lo + cutoff_lo * src
+    return new_hi - new_lo, new_hi, new_lo
+
+
+# --- color-mode ideal FFT bandpass --------------------------------------------------------------
+
+def optimal_buffer_size(fps: int) -> int:
+    """Two seconds of footage rounded up to a power of two, minimum 16."""
+    n = max(2 * int(fps), 16)
+    return 1 << max(0, math.ceil(math.log2(n)))
+
+
+def ideal_bandpass_gains(w_static: int, length, cutoff_lo, cutoff_hi, framerate):
+    """Per-frequency complex gains (gr[k], gi[k]) of the packed-mask bandpass.
+
+    `length` (dynamic int32) is the active window length L <= w_static. Packed CCS
+    index mapping: Re_k at 2k-1, Im_k at 2k (1 <= k <= ceil(L/2)-1), DC real at 0,
+    Nyquist real at L-1 for even L. Mask = 1 on packed indices in [fl, fh] with
+    fl = 2*cutoff_lo*L/framerate, fh = 2*cutoff_hi*L/framerate
+    (TemporalFilter.cpp:59-80); cutoff_lo == 0 is bumped to 0.01 (:26-27).
+    """
+    length = jnp.asarray(length, jnp.float32)
+    cutoff_lo = jnp.where(cutoff_lo == 0.0, cutoff_lo + 0.01, cutoff_lo)
+    fl = 2.0 * cutoff_lo * length / framerate
+    fh = 2.0 * cutoff_hi * length / framerate
+
+    def in_band(x):
+        xf = x.astype(jnp.float32)
+        return ((xf >= fl) & (xf <= fh)).astype(jnp.float32)
+
+    k = jnp.arange(w_static)  # frequency index; only 1 <= k <= ceil(L/2)-1 are "interior"
+    half = jnp.ceil(length / 2.0).astype(jnp.int32)  # ceil(L/2)
+    interior = (k >= 1) & (k < half)
+    gr = jnp.where(interior, in_band(2 * k - 1), 0.0)
+    gi = jnp.where(interior, in_band(2 * k), 0.0)
+    g_dc = in_band(jnp.zeros(()))
+    l_int = length.astype(jnp.int32)
+    is_even = (l_int % 2) == 0
+    g_ny = jnp.where(is_even, in_band(length - 1.0), 0.0)
+    return gr, gi, g_dc, g_ny
+
+
+def ideal_bandpass_circulant_col(w_static: int, length, cutoff_lo, cutoff_hi, framerate):
+    """First column b[d] of the circulant bandpass operator for window length L.
+
+    y[n] = sum_m b[(n - m) mod L] x[m], with the double DFT_SCALE (1/L^2) of the
+    reference's dft/idft round trip folded in.
+    """
+    gr, gi, g_dc, g_ny = ideal_bandpass_gains(w_static, length, cutoff_lo, cutoff_hi, framerate)
+    lf = jnp.asarray(length, jnp.float32)
+    d = jnp.arange(w_static, dtype=jnp.float32)[:, None]  # displacement
+    k = jnp.arange(w_static, dtype=jnp.float32)[None, :]  # frequency
+    ang = 2.0 * jnp.pi * k * d / lf
+    # 2*Re(G_k e^{i ang}) = 2*(gr*cos - gi*sin); DC and Nyquist contribute once.
+    terms = 2.0 * (gr[None, :] * jnp.cos(ang) - gi[None, :] * jnp.sin(ang))
+    b = g_dc + jnp.sum(terms, axis=1) + g_ny * jnp.cos(jnp.pi * d[:, 0])
+    b = b / (lf * lf)
+    valid = jnp.arange(w_static) < jnp.asarray(length, jnp.int32)
+    return jnp.where(valid, b, 0.0)
+
+
+def ideal_bandpass_apply(window: jnp.ndarray, count, cutoff_lo, cutoff_hi, framerate):
+    """Apply the ideal bandpass over the time axis of `window` [W, N].
+
+    Rows >= count are ignored (zero operator rows/cols). Returns filtered [W, N]
+    (same arbitrary 1/L^2 scale as the reference pre-normalization signal).
+    """
+    w_static = window.shape[0]
+    b = ideal_bandpass_circulant_col(w_static, count, cutoff_lo, cutoff_hi, framerate)
+    n = jnp.arange(w_static)[:, None]
+    m = jnp.arange(w_static)[None, :]
+    l_i = jnp.asarray(count, jnp.int32)
+    d = jnp.mod(n - m, jnp.maximum(l_i, 1))
+    bmat = jnp.take(b, d, axis=0)
+    active = (n < l_i) & (m < l_i)
+    bmat = jnp.where(active, bmat, 0.0)
+    return jnp.einsum(
+        "nm,m...->n...", bmat, window, precision=lax.Precision.HIGHEST
+    )
+
+
+def minmax_normalize(x: jnp.ndarray, valid_mask: jnp.ndarray | None = None):
+    """cv::normalize(..., 0, 1, NORM_MINMAX) over the whole array (all channels)."""
+    if valid_mask is not None:
+        big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+        mn = jnp.min(jnp.where(valid_mask, x, big))
+        mx = jnp.max(jnp.where(valid_mask, x, -big))
+    else:
+        mn = jnp.min(x)
+        mx = jnp.max(x)
+    return (x - mn) / (mx - mn)
+
+
+# --- Butterworth design (host-side, float64) ----------------------------------------------------
+
+def butterworth(order: int, wn: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Digital Butterworth lowpass (b, a), scipy.signal.butter-compatible.
+
+    Mirrors the reference's designer (TemporalFilter.cpp:268-297): analog
+    prototype poles exp(j*(2k-1)/(2N)*pi)*j, lowpass warp w0 = 2*fs*tan(pi*Wn/fs)
+    with fs=2, bilinear transform. Degenerate inputs (wn<=0, wn>=1, nan) produce
+    nan/inf coefficients naturally, which callers detect like the reference's
+    isnan(itsA[0]) re-init check (MagnifyCore.hpp:226).
+    """
+    fs = 2.0
+    with np.errstate(all="ignore"):
+        w0 = 2.0 * fs * math.tan(math.pi * float(wn) / fs) if np.isfinite(wn) else float("nan")
+        k_idx = np.arange(1, order + 1, dtype=np.float64)
+        poles = np.exp(1j * (2.0 * k_idx - 1.0) / (2.0 * order) * np.pi) * 1j
+        gain = 1.0
+        # lp2lp: scale poles by w0
+        poles = poles * w0
+        gain = gain * w0**order
+        # bilinear z = (2fs + s) / (2fs - s); zeros at z = -1 (degree deficit)
+        fs2 = 2.0 * fs
+        poles_z = (fs2 + poles) / (fs2 - poles)
+        gain_z = gain * np.real(1.0 / np.prod(fs2 - poles))
+        zeros_z = -np.ones(order)
+        b = np.real(gain_z * np.poly(zeros_z))
+        a = np.real(np.poly(poles_z))
+    return b.astype(np.float64), a.astype(np.float64)
+
+
+def butterworth_bandpass_coeffs(freq_hz: float, framerate: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Order-2 Butterworth for one cutoff: Wn = freq / (fps/2) (TemporalFilter.cpp:324-327)."""
+    wn = 0.0 if framerate == 0.0 else freq_hz / (framerate / 2.0)
+    return butterworth(2, wn)
+
+
+# --- Riesz phase DF-II temporal filter ----------------------------------------------------------
+
+class CompExp(NamedTuple):
+    """A (cos, sin) pair of arrays — the reference's CompExpMat (ComplexMat.hpp:9-110)."""
+
+    cos: jnp.ndarray
+    sin: jnp.ndarray
+
+    def __add__(self, o):
+        return CompExp(self.cos + o.cos, self.sin + o.sin)
+
+    def __sub__(self, o):
+        return CompExp(self.cos - o.cos, self.sin - o.sin)
+
+    def scale(self, s):
+        return CompExp(self.cos * s, self.sin * s)
+
+    def square_sum(self):
+        return self.cos * self.cos + self.sin * self.sin
+
+
+def riesz_df2_step(phase_acc: CompExp, reg0: CompExp, reg1: CompExp,
+                   phase_diff: CompExp, b, a):
+    """One DF-II step (TemporalFilter.cpp:340-351). Accumulates the quaternionic
+    phase difference (== phase unwrapping), then filters. Returns
+    (result, new_phase_acc, new_reg0, new_reg1). Assumes a[0] == 1."""
+    phase = phase_acc + phase_diff
+    result = phase.scale(b[0]) + reg0
+    new_reg0 = phase.scale(b[1]) + reg1 - result.scale(a[1])
+    new_reg1 = phase.scale(b[2]) - result.scale(a[2])
+    return result, phase, new_reg0, new_reg1
