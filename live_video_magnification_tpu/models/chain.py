@@ -1,0 +1,241 @@
+"""The processing chain: preprocess -> grayscale -> magnification, on device.
+
+Functional re-design of the reference chain (ChainBuilder.cpp:11-29 and the
+three processors). One jitted step per structural configuration computes BOTH
+the "original" tap (stage-0 output, pre-magnification post-geometry —
+ChainBuilder.cpp:19-29) and the processed frame; live preview and batch export
+call the same compiled function, so they can never diverge (the functional
+analogue of the shared chain factory, ChainBuilder.hpp:11-12).
+
+Host-side responsibilities (this module):
+  * structural tracking / temporal-state reset (StructuralTracker),
+  * level clamping to calculateMaxLevels (MagnificationProcessor.cpp:31-34),
+  * Butterworth coefficient computation + the cutoff-change reset protocol and
+    NaN-degenerate re-init loop of phase mode (MagnifyCore.hpp:226-254),
+  * jit-cache keyed on the structural configuration.
+
+Device-side: everything per-pixel, in planar [C, H, W] uint8/f32.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from live_video_magnification_tpu.models import color as color_mode
+from live_video_magnification_tpu.models import motion as motion_mode
+from live_video_magnification_tpu.models import riesz as riesz_mode
+from live_video_magnification_tpu.models.params import (
+    MagnificationMode,
+    PreprocessParams,
+    ProcessorConfig,
+)
+from live_video_magnification_tpu.models.structural import StructuralTracker
+from live_video_magnification_tpu.ops.color import bgr_to_gray_u8
+from live_video_magnification_tpu.ops.pyramid import calculate_max_levels
+from live_video_magnification_tpu.ops.resize import resize_area
+from live_video_magnification_tpu.ops.temporal import butterworth_bandpass_coeffs
+
+
+def preprocess_geometry(p: PreprocessParams, h: int, w: int) -> Tuple[int, int, int, int, int, int]:
+    """Static crop rect + output size per PreprocessProcessor.cpp:14-43.
+
+    Returns (y, x, ch, cw, oh, ow): crop offset/size and post-downscale size.
+    """
+    divisor = min(max(p.downscale, 1), 8)
+    x, y, cw, ch = 0, 0, w, h
+    if p.roi_enabled:
+        x = int(round(float(p.roi_x) * w))
+        y = int(round(float(p.roi_y) * h))
+        rw = int(round(float(p.roi_w) * w))
+        rh = int(round(float(p.roi_h) * h))
+        x = min(max(x, 0), w - 1)
+        y = min(max(y, 0), h - 1)
+        cw = min(max(rw, 1), w - x)
+        ch = min(max(rh, 1), h - y)
+    if divisor > 1:
+        ow = max(1, cw // divisor)
+        oh = max(1, ch // divisor)
+    else:
+        oh, ow = ch, cw
+    return y, x, ch, cw, oh, ow
+
+
+class _StaticKey(NamedTuple):
+    mode: MagnificationMode
+    levels: int          # clamped
+    channels: int        # channels entering magnification (after grayscale)
+    in_channels: int
+    h: int               # source frame h/w
+    w: int
+    grayscale: bool
+    geometry: Tuple[int, int, int, int, int, int]
+    framerate: float
+
+
+class ChainStep(NamedTuple):
+    """A compiled chain step + its state constructor."""
+
+    fn: object       # jitted (state, frame_u8, dyn) -> (state, processed, original)
+    init_state: object
+    key: _StaticKey
+
+
+def _build_step(key: _StaticKey) -> ChainStep:
+    y0, x0, ch_crop, cw_crop, oh, ow = key.geometry
+    mode, levels = key.mode, key.levels
+
+    def preprocess(frame_u8):
+        out = frame_u8
+        if (y0, x0, ch_crop, cw_crop) != (0, 0, key.h, key.w):
+            out = out[:, y0 : y0 + ch_crop, x0 : x0 + cw_crop]
+        if (oh, ow) != (ch_crop, cw_crop):
+            # INTER_AREA on u8: OpenCV computes in fixed point; we compute f32 and
+            # round (PSNR-equivalent; exact for integer box averages of u8 would
+            # differ at half-ULP ties only).
+            out = jnp.clip(jnp.rint(resize_area(out.astype(jnp.float32), (oh, ow))), 0, 255).astype(
+                jnp.uint8
+            )
+        return out
+
+    def gray_stage(frame_u8):
+        if key.grayscale and key.in_channels >= 3:
+            return bgr_to_gray_u8(frame_u8)
+        return frame_u8
+
+    if mode is MagnificationMode.LAPLACE:
+        model_step = partial(motion_mode.step, levels=levels)
+        init = lambda: motion_mode.init_state(oh, ow, key.channels, levels)
+    elif mode is MagnificationMode.COLOR:
+        model_step = partial(color_mode.step, levels=levels, framerate=key.framerate)
+        init = lambda: color_mode.init_state(oh, ow, key.channels, levels, key.framerate)
+    elif mode is MagnificationMode.PHASE and key.channels >= 3:
+        model_step = partial(riesz_mode.step, levels=levels)
+        init = lambda: riesz_mode.init_state(oh, ow, levels)
+    else:  # NONE, too-small frames (levels < 1), or phase-on-gray: identity
+        model_step = None
+        init = lambda: jnp.zeros((), jnp.int32)
+
+    def step(state, frame_u8, dyn):
+        pre = preprocess(frame_u8)
+        original = pre
+        magin = gray_stage(pre)
+        if model_step is None:
+            return state, magin, original
+        new_state, out = model_step(state, magin, dyn)
+        return new_state, out, original
+
+    return ChainStep(jax.jit(step, donate_argnums=(0,)), init, key)
+
+
+class MagnificationChain:
+    """Host-side stateful wrapper: the equivalent of the reference's
+    [Preprocess, Grayscale, Magnification] chain instance with its
+    StructuralTracker and per-mode temporal state."""
+
+    def __init__(self):
+        self._tracker = StructuralTracker()
+        self._steps: dict = {}
+        self._state = None
+        self._key: Optional[_StaticKey] = None
+        # phase-mode host-side filter bookkeeping
+        self._riesz_cutoffs: Optional[Tuple[float, float, float]] = None
+        self._riesz_coeffs = None
+
+    def reset(self) -> None:
+        """Drop all temporal state (IProcessor::reset crash-recovery semantics)."""
+        self._tracker.reset()
+        self._state = None
+        self._key = None
+        self._riesz_cutoffs = None
+        self._riesz_coeffs = None
+
+    # -- dynamic parameter marshalling ----------------------------------------------------------
+
+    def _dyn_params(self, cfg: ProcessorConfig, key: _StaticKey):
+        p = cfg.magnification
+        f32 = lambda v: jnp.asarray(v, jnp.float32)
+        if key.mode is MagnificationMode.LAPLACE:
+            return motion_mode.MotionDynParams(
+                f32(p.amplification), f32(p.co_wavelength), f32(p.co_low), f32(p.co_high),
+                f32(p.chrom_attenuation),
+            )
+        if key.mode is MagnificationMode.COLOR:
+            return color_mode.ColorDynParams(f32(p.amplification), f32(p.co_low), f32(p.co_high))
+        if key.mode is MagnificationMode.PHASE and key.channels >= 3:
+            cutoffs = (p.co_low, p.co_high, p.framerate)
+            reset_filters = False
+            if self._riesz_cutoffs is None:
+                self._riesz_coeffs = (
+                    butterworth_bandpass_coeffs(p.co_low, p.framerate),
+                    butterworth_bandpass_coeffs(p.co_high, p.framerate),
+                )
+                self._riesz_cutoffs = cutoffs
+            elif cutoffs != self._riesz_cutoffs:
+                # Cutoff change: recompute + reset both filters + rebuild prior
+                # pyramid from the current frame (MagnifyCore.hpp:243-254).
+                self._riesz_coeffs = (
+                    butterworth_bandpass_coeffs(p.co_low, p.framerate),
+                    butterworth_bandpass_coeffs(p.co_high, p.framerate),
+                )
+                self._riesz_cutoffs = cutoffs
+                reset_filters = True
+            (b_lo, a_lo), (b_hi, a_hi) = self._riesz_coeffs
+            force_init = bool(np.isnan(a_lo[0]) or np.isnan(a_hi[0]))
+            return riesz_mode.RieszDynParams(
+                f32(p.amplification),
+                f32(p.co_wavelength * math.pi / 100.0),
+                jnp.asarray(b_lo, jnp.float32),
+                jnp.asarray(a_lo, jnp.float32),
+                jnp.asarray(b_hi, jnp.float32),
+                jnp.asarray(a_hi, jnp.float32),
+                jnp.asarray(reset_filters),
+                jnp.asarray(force_init),
+            )
+        return jnp.zeros(())  # identity path takes no params
+
+    # -- per-frame entry ------------------------------------------------------------------------
+
+    def static_key(self, cfg: ProcessorConfig, h: int, w: int, channels: int) -> _StaticKey:
+        geometry = preprocess_geometry(cfg.preprocess, h, w)
+        oh, ow = geometry[4], geometry[5]
+        mag_channels = 1 if (cfg.grayscale and channels >= 3) else channels
+        mode = cfg.magnification.mode
+        max_levels = calculate_max_levels((oh, ow))
+        if mode is not MagnificationMode.NONE and max_levels < 1:
+            mode = MagnificationMode.NONE  # too small to magnify -> identity
+        levels = min(max(cfg.magnification.levels, 1), max(max_levels, 1))
+        return _StaticKey(
+            mode, levels, mag_channels, channels, h, w, bool(cfg.grayscale), geometry,
+            float(cfg.magnification.framerate),
+        )
+
+    def process(self, frame_u8_chw, cfg: ProcessorConfig):
+        """Run the chain once. frame_u8_chw: [C, H, W] uint8 (device or host array).
+
+        Returns (processed_u8, original_u8) device arrays, both [C', H', W'].
+        """
+        c, h, w = frame_u8_chw.shape
+        key = self.static_key(cfg, h, w, c)
+
+        if key not in self._steps:
+            self._steps[key] = _build_step(key)
+        step = self._steps[key]
+
+        structural = self._tracker.update(
+            cfg, key.levels, key.channels, (key.geometry[4], key.geometry[5])
+        ) or key != self._key
+        if structural or self._state is None:
+            self._state = step.init_state()
+            self._key = key
+            self._riesz_cutoffs = None
+            self._riesz_coeffs = None
+
+        dyn = self._dyn_params(cfg, key)
+        self._state, processed, original = step.fn(self._state, jnp.asarray(frame_u8_chw), dyn)
+        return processed, original

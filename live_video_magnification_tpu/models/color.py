@@ -1,0 +1,132 @@
+"""Color magnification: Gaussian pyramid + ideal FFT bandpass over a rolling window.
+
+Pure, scannable re-design of the reference's colorMagnify
+(reference src/processing/magnification/MagnifyCore.hpp:163-206):
+
+  u8 -> f32 (NO /255) -> Gaussian pyramid, take smallest level -> push as newest
+  column of a rolling window of optimal_buffer_size(fps) frames -> ideal FFT
+  bandpass over the time axis (min-max normalized over the whole window) ->
+  x amplification -> reconstruct column min(1, cols-1) via pyrUps + resize ->
+  out = input + colorImg -> rescale u8 by the output's own min/max.
+
+TPU re-design: the rolling window is a device-resident [W, C, hs, ws] tensor
+(time-major); the bandpass is a circulant matmul over the time axis (see
+ops/temporal.py) which is exact for the growing warm-up window lengths without
+recompilation — the window length is a traced scalar, not a shape.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from live_video_magnification_tpu.ops.color import to_u8
+from live_video_magnification_tpu.ops.pyramid import (
+    build_gauss_pyr,
+    pyramid_sizes,
+    reconstruct_from_gauss_level,
+)
+from live_video_magnification_tpu.ops.temporal import (
+    ideal_bandpass_apply,
+    optimal_buffer_size,
+)
+
+
+class ColorDynParams(NamedTuple):
+    amplification: jnp.ndarray
+    co_low: jnp.ndarray   # Hz
+    co_high: jnp.ndarray  # Hz
+
+
+class ColorState(NamedTuple):
+    count: jnp.ndarray    # frames pushed so far (int32, saturates at window size semantics)
+    window: jnp.ndarray   # [W, C, hs, ws] f32 rolling window, rows 0..L-1 active, oldest first
+
+
+def window_size(framerate: float) -> int:
+    return optimal_buffer_size(int(framerate))
+
+
+def init_state(h: int, w: int, channels: int, levels: int, framerate: float) -> ColorState:
+    hs, ws = pyramid_sizes(h, w, levels)[levels - 1]
+    win = jnp.zeros((window_size(framerate), channels, hs, ws), jnp.float32)
+    return ColorState(jnp.zeros((), jnp.int32), win)
+
+
+def step(
+    state: ColorState,
+    frame_u8: jnp.ndarray,  # [C, H, W] uint8
+    dyn: ColorDynParams,
+    *,
+    levels: int,
+    framerate: float,
+) -> Tuple[ColorState, jnp.ndarray]:
+    channels, h, w = frame_u8.shape
+    w_static = state.window.shape[0]
+
+    inp = frame_u8.astype(jnp.float32)  # convertTo(CV_32F): stays in [0,255]
+
+    pyr = build_gauss_pyr(inp, levels)
+    small = pyr[levels - 1]
+
+    # img2tempMat semantics (SpatialFilter.cpp:63-84): append newest; once full,
+    # drop the oldest. Implemented as conditional roll + dynamic row write.
+    full = state.count >= w_static
+    rolled = jnp.where(full, jnp.roll(state.window, -1, axis=0), state.window)
+    idx = jnp.minimum(state.count, w_static - 1)
+    window = jax.lax.dynamic_update_index_in_dim(rolled, small, idx, 0)
+    length = jnp.minimum(state.count + 1, w_static)  # active column count
+
+    filtered = ideal_bandpass_apply(
+        window.reshape(w_static, -1), length, dyn.co_low, dyn.co_high, framerate
+    )
+    # normalize(0,1,MINMAX) over the active window, all channels jointly
+    row_valid = (jnp.arange(w_static) < length)[:, None]
+    big = jnp.asarray(jnp.finfo(jnp.float32).max)
+    mn = jnp.min(jnp.where(row_valid, filtered, big))
+    mx = jnp.max(jnp.where(row_valid, filtered, -big))
+    filtered = (filtered - mn) / (mx - mn)
+
+    filtered = filtered * dyn.amplification.astype(jnp.float32)
+
+    # Reconstructed column is min(1, cols-1) — index 1 in steady state
+    # (MagnifyCore.hpp:186-192).
+    col = jnp.minimum(1, length - 1)
+    small_filtered = jax.lax.dynamic_index_in_dim(filtered, col, 0, keepdims=False).reshape(
+        small.shape
+    )
+    color_img = reconstruct_from_gauss_level(small_filtered, levels, (h, w))
+
+    output = inp + color_img
+
+    # Rescale by the output's own min/max across all channels (MagnifyCore.hpp:199-203).
+    omn = jnp.min(output)
+    omx = jnp.max(output)
+    out_u8 = to_u8(output, 255.0 / (omx - omn), -omn * 255.0 / (omx - omn))
+
+    # Warm-up: fewer than 2 columns => raw frame passthrough (MagnifyCore.hpp:180).
+    out_u8 = jnp.where(length < 2, frame_u8, out_u8)
+
+    # Saturate the counter at the window size (all downstream checks only need
+    # "full"), so indefinite streaming cannot overflow it.
+    return ColorState(jnp.minimum(state.count + 1, w_static), window), out_u8
+
+
+def process_clip(
+    frames_u8: jnp.ndarray,  # [T, C, H, W] uint8
+    dyn: ColorDynParams,
+    *,
+    levels: int,
+    framerate: float,
+    state: ColorState | None = None,
+) -> Tuple[ColorState, jnp.ndarray]:
+    t, c, h, w = frames_u8.shape
+    if state is None:
+        state = init_state(h, w, c, levels, framerate)
+
+    def body(st, frame):
+        return step(st, frame, dyn, levels=levels, framerate=framerate)
+
+    return jax.lax.scan(body, state, frames_u8)

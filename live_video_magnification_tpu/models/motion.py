@@ -1,0 +1,142 @@
+"""Motion (Laplace) magnification: Laplacian pyramid + temporal IIR bandpass.
+
+Pure, scannable re-design of the reference's laplaceMagnify
+(reference src/processing/magnification/MagnifyCore.hpp:83-160):
+
+  u8 -> f32/255 -> BGR->Lab (color input) -> Laplacian pyramid (levels+1) ->
+  per-level IIR bandpass against carried EMA state -> spatial-wavelength
+  amplification ladder (level 0 and residual zeroed) -> collapse -> chroma
+  attenuation -> out = input + motion -> Lab->BGR -> u8 (x255 + 1/255 bias).
+
+First-frame semantics fall out without a branch: the EMA state is seeded with
+the first frame's pyramid, making the bandpass exactly zero, so output == input
+(matching MagnifyCore.hpp:98-103's explicit first-frame path).
+
+State is a pytree of 2*(levels+1) float32 arrays; a step is O(pixels) VPU work.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from live_video_magnification_tpu.ops.color import (
+    bgr_to_lab,
+    lab_to_bgr,
+    to_u8,
+    u8_to_unit_f32,
+)
+from live_video_magnification_tpu.ops.pyramid import (
+    build_laplace_pyr,
+    collapse_laplace_pyr,
+    pyramid_sizes,
+)
+from live_video_magnification_tpu.ops.temporal import iir_filter
+
+
+class MotionDynParams(NamedTuple):
+    """Per-frame (traced) parameters — slider changes never recompile."""
+
+    amplification: jnp.ndarray   # alpha
+    co_wavelength: jnp.ndarray   # lambda_c analogue
+    co_low: jnp.ndarray          # IIR blend coefficient [0,1]
+    co_high: jnp.ndarray
+    chrom_attenuation: jnp.ndarray
+
+
+class MotionState(NamedTuple):
+    count: jnp.ndarray               # frames seen (int32)
+    lowpass_hi: Tuple[jnp.ndarray, ...]  # per level (levels+1), [C,h,w] f32
+    lowpass_lo: Tuple[jnp.ndarray, ...]
+
+
+def init_state(h: int, w: int, channels: int, levels: int) -> MotionState:
+    sizes = [(h, w)] + pyramid_sizes(h, w, levels)
+    zeros = tuple(jnp.zeros((channels, lh, lw), jnp.float32) for lh, lw in sizes)
+    return MotionState(jnp.zeros((), jnp.int32), zeros, zeros)
+
+
+def step(
+    state: MotionState,
+    frame_u8: jnp.ndarray,  # [C, H, W] uint8
+    dyn: MotionDynParams,
+    *,
+    levels: int,
+) -> Tuple[MotionState, jnp.ndarray]:
+    channels, h, w = frame_u8.shape
+    color = channels >= 3
+
+    x = u8_to_unit_f32(frame_u8)
+    inp = bgr_to_lab(x) if color else x
+
+    pyr = build_laplace_pyr(inp, levels)
+
+    first = state.count == 0
+    lp_hi = [jnp.where(first, p, s) for p, s in zip(pyr, state.lowpass_hi)]
+    lp_lo = [jnp.where(first, p, s) for p, s in zip(pyr, state.lowpass_lo)]
+
+    motion: List[jnp.ndarray] = []
+    new_hi, new_lo = [], []
+    for lvl in range(levels):
+        dst, nh, nl = iir_filter(pyr[lvl], lp_hi[lvl], lp_lo[lvl], dyn.co_low, dyn.co_high)
+        motion.append(dst)
+        new_hi.append(nh)
+        new_lo.append(nl)
+    motion.append(pyr[levels])  # residual; zeroed by the ladder below
+    new_hi.append(lp_hi[levels])
+    new_lo.append(lp_lo[levels])
+
+    # Amplification ladder (MagnifyCore.hpp:114-134): representative wavelength
+    # sqrt(w^2+h^2)/3 halved per level; gain = min(alpha, (lambda/(8*delta)-1)*2);
+    # residual and the finest difference level are zeroed.
+    delta = dyn.co_wavelength / (8.0 * (1.0 + dyn.amplification))
+    lam0 = math.sqrt(float(w * w + h * h)) / 3.0
+    amplified: List[jnp.ndarray] = [None] * (levels + 1)
+    lam = lam0
+    for lvl in range(levels, -1, -1):
+        curr_alpha = (lam / (delta * 8.0) - 1.0) * 2.0
+        if lvl == levels or lvl == 0:
+            amplified[lvl] = motion[lvl] * 0.0
+        else:
+            amplified[lvl] = motion[lvl] * jnp.minimum(dyn.amplification, curr_alpha).astype(
+                jnp.float32
+            )
+        lam /= 2.0
+    motion_img = collapse_laplace_pyr(amplified)
+
+    if color:
+        motion_img = motion_img * jnp.stack(
+            [
+                jnp.ones((), jnp.float32),
+                dyn.chrom_attenuation.astype(jnp.float32),
+                dyn.chrom_attenuation.astype(jnp.float32),
+            ]
+        ).reshape(3, 1, 1)
+
+    output = inp + motion_img
+
+    out_u8 = to_u8(lab_to_bgr(output) if color else output, 255.0, 1.0 / 255.0)
+
+    new_state = MotionState(state.count + 1, tuple(new_hi), tuple(new_lo))
+    return new_state, out_u8
+
+
+def process_clip(
+    frames_u8: jnp.ndarray,  # [T, C, H, W] uint8
+    dyn: MotionDynParams,
+    *,
+    levels: int,
+    state: MotionState | None = None,
+) -> Tuple[MotionState, jnp.ndarray]:
+    """Batch export path: lax.scan of step over the time axis."""
+    t, c, h, w = frames_u8.shape
+    if state is None:
+        state = init_state(h, w, c, levels)
+
+    def body(st, frame):
+        return step(st, frame, dyn, levels=levels)
+
+    return jax.lax.scan(body, state, frames_u8)

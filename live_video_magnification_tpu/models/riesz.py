@@ -1,0 +1,177 @@
+"""Phase (Riesz) magnification: Riesz pyramid + Butterworth phase bandpass.
+
+Pure, scannable re-design of the reference's rieszMagnify
+(reference src/processing/magnification/MagnifyCore.hpp:209-279):
+
+  u8 -> f32/255 -> BGR->Lab, take luminance -> Riesz pyramid -> quaternionic
+  phase difference vs the prior frame's pyramid -> per-level lo/hi Butterworth
+  DF-II IIR on the accumulated phase -> amplitude-normalized phase change ->
+  phase rotation of the band (amplification truncated at threshold) -> collapse
+  -> merge L back into Lab -> BGR u8.
+
+Functional state model (replacing the reference's two mutable pyramids +
+"*old = *cur" deep copy, MagnifyCore.hpp:267): the carried state holds the prior
+pyramid (band + Riesz pair per level) and, per active level, the lo/hi filters'
+accumulated phase and DF-II registers. Butterworth coefficients are computed
+host-side (float64) and passed as six traced scalars, so live cutoff changes
+re-filter without recompiling; the reference's cutoff-change protocol
+(reset filter state + rebuild the prior pyramid from the current frame,
+MagnifyCore.hpp:243-254) maps to the `reset_filters` flag, and its NaN-degenerate
+re-init loop (MagnifyCore.hpp:226) to `force_init`.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from live_video_magnification_tpu.ops.color import (
+    bgr_to_lab,
+    lab_to_bgr,
+    to_u8,
+    u8_to_unit_f32,
+)
+from live_video_magnification_tpu.ops.riesz import (
+    RieszLevel,
+    amplify_level,
+    build_riesz_pyramid,
+    collapse_riesz_pyramid,
+    normalize_phase,
+    phase_difference_and_amplitude,
+    riesz_level_sizes,
+)
+from live_video_magnification_tpu.ops.temporal import CompExp, riesz_df2_step
+
+
+class RieszDynParams(NamedTuple):
+    amplification: jnp.ndarray
+    threshold: jnp.ndarray       # co_wavelength * pi / 100 (MagnifyCore.hpp:214,269)
+    b_lo: jnp.ndarray            # [3] low-cutoff Butterworth numerator
+    a_lo: jnp.ndarray            # [3] denominator (a[0] == 1)
+    b_hi: jnp.ndarray
+    a_hi: jnp.ndarray
+    reset_filters: jnp.ndarray   # bool: a cutoff changed this frame
+    force_init: jnp.ndarray      # bool: degenerate coefficients -> re-init + passthrough
+
+
+class FilterLevelState(NamedTuple):
+    phase: CompExp  # accumulated quaternionic phase (the filter's unwrap state)
+    reg0: CompExp   # DF-II registers
+    reg1: CompExp
+
+
+class RieszState(NamedTuple):
+    count: jnp.ndarray
+    old: Tuple[RieszLevel, ...]               # prior pyramid, all `levels` levels
+    lo: Tuple[FilterLevelState, ...]          # per active level (levels-1 entries)
+    hi: Tuple[FilterLevelState, ...]
+
+
+def _zero_filter_level(h: int, w: int) -> FilterLevelState:
+    z = jnp.zeros((h, w), jnp.float32)
+    zc = CompExp(z, z)
+    return FilterLevelState(zc, zc, zc)
+
+
+def init_state(h: int, w: int, levels: int) -> RieszState:
+    sizes = riesz_level_sizes(h, w, levels)
+    old = tuple(
+        RieszLevel(
+            jnp.zeros((lh, lw), jnp.float32),
+            CompExp(jnp.zeros((lh, lw), jnp.float32), jnp.zeros((lh, lw), jnp.float32)),
+        )
+        for lh, lw in sizes
+    )
+    filt = tuple(_zero_filter_level(lh, lw) for lh, lw in sizes[: levels - 1])
+    return RieszState(jnp.zeros((), jnp.int32), old, filt, filt)
+
+
+def step(
+    state: RieszState,
+    frame_u8: jnp.ndarray,  # [3, H, W] uint8 (phase mode requires color input)
+    dyn: RieszDynParams,
+    *,
+    levels: int,
+) -> Tuple[RieszState, jnp.ndarray]:
+    lab = bgr_to_lab(u8_to_unit_f32(frame_u8))
+    luma = lab[0]
+
+    cur = build_riesz_pyramid(luma, levels)
+
+    first = state.count == 0
+    rebuild_old = first | dyn.reset_filters | dyn.force_init
+    zero_filters = rebuild_old
+
+    old = tuple(
+        RieszLevel(
+            jnp.where(rebuild_old, c.lowpass, o.lowpass),
+            CompExp(
+                jnp.where(rebuild_old, c.riesz.cos, o.riesz.cos),
+                jnp.where(rebuild_old, c.riesz.sin, o.riesz.sin),
+            ),
+        )
+        for c, o in zip(cur, state.old)
+    )
+
+    def masked(fl: FilterLevelState) -> FilterLevelState:
+        return jax.tree.map(lambda x: jnp.where(zero_filters, 0.0, x), fl)
+
+    lo_state = tuple(masked(f) for f in state.lo)
+    hi_state = tuple(masked(f) for f in state.hi)
+
+    # Per active level: phase diff vs prior, then lo/hi DF-II IIR.
+    new_lo: List[FilterLevelState] = []
+    new_hi: List[FilterLevelState] = []
+    lowpasses: List[jnp.ndarray] = []
+    for lvl in range(levels - 1):
+        pr = phase_difference_and_amplitude(cur[lvl], old[lvl])
+        lo_res, lo_phase, lo_r0, lo_r1 = riesz_df2_step(
+            lo_state[lvl].phase, lo_state[lvl].reg0, lo_state[lvl].reg1,
+            pr.phase_diff, dyn.b_lo, dyn.a_lo,
+        )
+        hi_res, hi_phase, hi_r0, hi_r1 = riesz_df2_step(
+            hi_state[lvl].phase, hi_state[lvl].reg0, hi_state[lvl].reg1,
+            pr.phase_diff, dyn.b_hi, dyn.a_hi,
+        )
+        new_lo.append(FilterLevelState(lo_phase, lo_r0, lo_r1))
+        new_hi.append(FilterLevelState(hi_phase, hi_r0, hi_r1))
+
+        normalized = normalize_phase(hi_res, lo_res, pr.amplitude, pr.amplitude_blurred)
+        lowpasses.append(
+            amplify_level(cur[lvl], normalized, dyn.amplification, dyn.threshold)
+        )
+    lowpasses.append(cur[levels - 1].lowpass)  # untouched residual octave
+
+    magnified = collapse_riesz_pyramid(lowpasses)
+
+    merged = jnp.stack([magnified, lab[1], lab[2]])
+    out_u8 = to_u8(lab_to_bgr(merged), 255.0, 1.0 / 255.0)
+
+    # First frame and degenerate-coefficient frames emit the raw input unchanged
+    # (MagnifyCore.hpp:226-239).
+    passthrough = first | dyn.force_init
+    out_u8 = jnp.where(passthrough, frame_u8, out_u8)
+
+    # "*st.old = *st.cur" — the prior pyramid becomes this frame's (band + Riesz).
+    new_old = tuple(RieszLevel(c.lowpass, c.riesz) for c in cur)
+    new_state = RieszState(state.count + 1, new_old, tuple(new_lo), tuple(new_hi))
+    return new_state, out_u8
+
+
+def process_clip(
+    frames_u8: jnp.ndarray,  # [T, 3, H, W] uint8
+    dyn: RieszDynParams,
+    *,
+    levels: int,
+    state: RieszState | None = None,
+) -> Tuple[RieszState, jnp.ndarray]:
+    t, c, h, w = frames_u8.shape
+    if state is None:
+        state = init_state(h, w, levels)
+
+    def body(st, frame):
+        return step(st, frame, dyn, levels=levels)
+
+    return jax.lax.scan(body, state, frames_u8)

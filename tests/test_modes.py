@@ -1,0 +1,167 @@
+"""End-to-end mode parity: JAX pipelines vs the cv2/numpy reference oracles.
+
+This is the SURVEY.md §4(b) PSNR oracle: per-frame outputs of each magnification
+mode must match the reference semantics well above the 40 dB bound on synthetic
+clips with genuine motion + brightness pulsation.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from live_video_magnification_tpu.models import color as color_mode
+from live_video_magnification_tpu.models import motion as motion_mode
+from live_video_magnification_tpu.models import riesz as riesz_mode
+from live_video_magnification_tpu.models.params import motion_hz_to_blend
+from live_video_magnification_tpu.ops.temporal import butterworth_bandpass_coeffs
+
+from oracle import (
+    ColorOracle,
+    MotionOracle,
+    RieszOracle,
+    psnr_u8,
+    synthetic_clip,
+)
+
+
+def chw(f):
+    if f.ndim == 2:
+        return f[None]
+    return np.moveaxis(f, -1, 0)
+
+
+def hwc(a):
+    a = np.asarray(a)
+    if a.shape[0] == 1:
+        return a[0]
+    return np.moveaxis(a, 0, -1)
+
+
+FPS = 30.0
+
+
+@pytest.mark.parametrize("color", [True, False])
+def test_motion_matches_oracle(color):
+    t, h, w, levels = 12, 48, 64, 3
+    alpha, lam_c, chrom = 20.0, 500.0, 0.3
+    co_low = motion_hz_to_blend(1.0, FPS)
+    co_high = motion_hz_to_blend(4.0, FPS)
+    frames = synthetic_clip(t, h, w, color=color, seed=1)
+
+    oracle = MotionOracle()
+    state = motion_mode.init_state(h, w, 3 if color else 1, levels)
+    dyn = motion_mode.MotionDynParams(
+        jnp.float32(alpha), jnp.float32(lam_c), jnp.float32(co_low),
+        jnp.float32(co_high), jnp.float32(chrom),
+    )
+    for i, f in enumerate(frames):
+        ref = oracle.step(f, alpha, lam_c, co_low, co_high, chrom, levels)
+        state, out = motion_mode.step(state, jnp.asarray(chw(f)), dyn, levels=levels)
+        p = psnr_u8(hwc(out), ref)
+        assert p > 45.0, f"frame {i}: PSNR {p:.1f} dB"
+
+
+@pytest.mark.parametrize("color", [True, False])
+def test_color_matches_oracle(color):
+    t, h, w, levels = 14, 48, 64, 3
+    alpha, lo, hi = 100.0, 0.8, 1.6
+    frames = synthetic_clip(t, h, w, color=color, seed=2)
+
+    oracle = ColorOracle()
+    state = color_mode.init_state(h, w, 3 if color else 1, levels, FPS)
+    dyn = color_mode.ColorDynParams(jnp.float32(alpha), jnp.float32(lo), jnp.float32(hi))
+    for i, f in enumerate(frames):
+        ref = oracle.step(f, alpha, lo, hi, levels, FPS)
+        state, out = color_mode.step(
+            state, jnp.asarray(chw(f)), dyn, levels=levels, framerate=FPS
+        )
+        got = hwc(out)
+        if i == 0:  # warmup: raw passthrough, bit-exact
+            np.testing.assert_array_equal(got, f)
+        p = psnr_u8(got, ref)
+        assert p > 45.0, f"frame {i}: PSNR {p:.1f} dB"
+
+
+def test_riesz_matches_oracle():
+    t, h, w, levels = 10, 48, 64, 3
+    alpha, wavelength = 30.0, 40.0  # threshold = wavelength*pi/100
+    lo_hz, hi_hz = 0.5, 3.0
+    frames = synthetic_clip(t, h, w, color=True, seed=3)
+
+    oracle = RieszOracle()
+    state = riesz_mode.init_state(h, w, levels)
+    b_lo, a_lo = butterworth_bandpass_coeffs(lo_hz, FPS)
+    b_hi, a_hi = butterworth_bandpass_coeffs(hi_hz, FPS)
+    import math
+
+    dyn = riesz_mode.RieszDynParams(
+        jnp.float32(alpha),
+        jnp.float32(wavelength * math.pi / 100.0),
+        jnp.asarray(b_lo, jnp.float32),
+        jnp.asarray(a_lo, jnp.float32),
+        jnp.asarray(b_hi, jnp.float32),
+        jnp.asarray(a_hi, jnp.float32),
+        jnp.asarray(False),
+        jnp.asarray(False),
+    )
+    for i, f in enumerate(frames):
+        ref = oracle.step(f, alpha, wavelength, lo_hz, hi_hz, levels, FPS)
+        state, out = riesz_mode.step(state, jnp.asarray(chw(f)), dyn, levels=levels)
+        got = hwc(out)
+        if i == 0:  # init frame: raw passthrough, bit-exact
+            np.testing.assert_array_equal(got, f)
+        p = psnr_u8(got, ref)
+        assert p > 40.0, f"frame {i}: PSNR {p:.1f} dB"
+
+
+def test_riesz_cutoff_change_resets_filters():
+    """The cutoff-change protocol (MagnifyCore.hpp:243-254): filters reset, prior
+    pyramid rebuilt from the current frame; outputs keep matching the oracle."""
+    import math
+
+    t, h, w, levels = 8, 32, 40, 2
+    alpha, wavelength = 25.0, 50.0
+    frames = synthetic_clip(t, h, w, color=True, seed=4)
+    cutoffs = [(0.5, 3.0)] * 4 + [(1.0, 5.0)] * 4
+
+    oracle = RieszOracle()
+    state = riesz_mode.init_state(h, w, levels)
+    prev = None
+    for i, (f, (lo_hz, hi_hz)) in enumerate(zip(frames, cutoffs)):
+        ref = oracle.step(f, alpha, wavelength, lo_hz, hi_hz, levels, FPS)
+        b_lo, a_lo = butterworth_bandpass_coeffs(lo_hz, FPS)
+        b_hi, a_hi = butterworth_bandpass_coeffs(hi_hz, FPS)
+        changed = prev is not None and (lo_hz, hi_hz) != prev
+        prev = (lo_hz, hi_hz)
+        dyn = riesz_mode.RieszDynParams(
+            jnp.float32(alpha),
+            jnp.float32(wavelength * math.pi / 100.0),
+            jnp.asarray(b_lo, jnp.float32),
+            jnp.asarray(a_lo, jnp.float32),
+            jnp.asarray(b_hi, jnp.float32),
+            jnp.asarray(a_hi, jnp.float32),
+            jnp.asarray(changed),
+            jnp.asarray(False),
+        )
+        state, out = riesz_mode.step(state, jnp.asarray(chw(f)), dyn, levels=levels)
+        p = psnr_u8(hwc(out), ref)
+        if i > 0:
+            assert p > 40.0, f"frame {i}: PSNR {p:.1f} dB"
+
+
+def test_scan_equals_stepwise_motion():
+    """process_clip (lax.scan batch path) must equal per-frame stepping."""
+    t, h, w, levels = 6, 32, 32, 2
+    frames = synthetic_clip(t, h, w, color=True, seed=5)
+    arr = jnp.asarray(np.stack([chw(f) for f in frames]))
+    dyn = motion_mode.MotionDynParams(
+        jnp.float32(15.0), jnp.float32(300.0),
+        jnp.float32(motion_hz_to_blend(1.0, FPS)), jnp.float32(motion_hz_to_blend(3.0, FPS)),
+        jnp.float32(1.0),
+    )
+    _, scanned = motion_mode.process_clip(arr, dyn, levels=levels)
+    state = motion_mode.init_state(h, w, 3, levels)
+    for i in range(t):
+        state, out = motion_mode.step(state, arr[i], dyn, levels=levels)
+        np.testing.assert_array_equal(np.asarray(scanned[i]), np.asarray(out))
