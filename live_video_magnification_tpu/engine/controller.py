@@ -1,0 +1,308 @@
+"""Playback controller: owns and wires the whole streaming pipeline.
+
+Re-design of the reference PlaybackController (pipeline/PlaybackController.{hpp,cpp}):
+pool(12) + queue(2) + mailbox + instrumentation + AtomicConfig + source +
+processing chain, with the same orchestration semantics:
+
+  * open_file/open_camera store a source FACTORY so Stop -> Play can rebuild
+    (PlaybackController.cpp:33-65,139);
+  * build_and_start resets infrastructure, sets queue policy by source kind
+    (file=Block, camera=Drop), seeds playback fps + magnification framerate, and
+    starts the consumer BEFORE the producer (:67-102);
+  * play() restarts a parked-at-end file and rebuilds a dead source (:104-131);
+  * stop() keeps a seekable file loaded-but-rewound, tears a camera down (:141-153);
+  * teardown unblocks queue+pool BEFORE joining threads (deadlock-freedom
+    ordering, :316-331);
+  * remembered preferences (loop/grayscale/preprocess/mag params/magnify-active/
+    playback fps) are re-applied on every rebuild and republished via one
+    compose step under a single mutex (:166-174);
+  * a new ROI drag is relative to the currently displayed (already cropped)
+    image, so it composes onto the active ROI (:210-227);
+  * camera recording begin/end quiesces in order: close sink -> wait producer ->
+    detach (:244-263).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import Callable, Optional
+
+from live_video_magnification_tpu.engine.config import AtomicConfig
+from live_video_magnification_tpu.engine.instrumentation import Instrumentation, StatsSnapshot
+from live_video_magnification_tpu.engine.mailbox import LatestFrameMailbox
+from live_video_magnification_tpu.engine.pool import FramePool
+from live_video_magnification_tpu.engine.processing import ProcessingChain
+from live_video_magnification_tpu.engine.queue import BoundedQueue, OverflowPolicy
+from live_video_magnification_tpu.engine.source import (
+    CameraSource,
+    FileSource,
+    ISource,
+    SyntheticSource,
+)
+from live_video_magnification_tpu.models.params import (
+    MagnificationMode,
+    MagnificationParams,
+    PreprocessParams,
+    ProcessorConfig,
+)
+
+POOL_CAPACITY = 12
+QUEUE_CAPACITY = 2
+
+
+class PlaybackController:
+    def __init__(self):
+        self._pool = FramePool(POOL_CAPACITY)
+        self._queue = BoundedQueue(QUEUE_CAPACITY)
+        self.mailbox = LatestFrameMailbox()
+        self._instr = Instrumentation()
+        self._config: AtomicConfig[ProcessorConfig] = AtomicConfig(ProcessorConfig())
+        self._source: Optional[ISource] = None
+        self._source_factory: Optional[Callable[[], ISource]] = None
+        self._is_camera = False
+        self._chain: Optional[ProcessingChain] = None
+
+        # Remembered preferences, re-applied on every rebuild (one mutex).
+        self._prefs_mutex = threading.Lock()
+        self._loop = False
+        self._grayscale = False
+        self._preprocess = PreprocessParams()
+        self._mag_params = MagnificationParams()
+        self._magnify_active = True
+        self._playback_fps: Optional[float] = None
+
+    # -- open ------------------------------------------------------------------------------------
+
+    def open_file(self, path: str) -> bool:
+        self._source_factory = lambda: FileSource(
+            path, self._pool, self._queue, self._instr, self.mailbox
+        )
+        self._is_camera = False
+        return self._build_and_start()
+
+    def open_camera(self, index: int) -> bool:
+        self._source_factory = lambda: CameraSource(
+            index, self._pool, self._queue, self._instr, self.mailbox
+        )
+        self._is_camera = True
+        return self._build_and_start()
+
+    def open_synthetic(self, h: int = 480, w: int = 640, fps: float = 30.0,
+                       n_frames: int = 0, channels: int = 3) -> bool:
+        self._source_factory = lambda: SyntheticSource(
+            self._pool, self._queue, self._instr, h, w, fps, n_frames, channels
+        )
+        self._is_camera = False
+        return self._build_and_start()
+
+    def _build_and_start(self) -> bool:
+        self._teardown_threads()
+        self._instr.reset()
+        self._queue.reset()
+        self._pool.reset()
+        self.mailbox.clear()
+        self._queue.set_policy(
+            OverflowPolicy.DROP if self._is_camera else OverflowPolicy.BLOCK
+        )
+
+        source = self._source_factory()
+        source.loop = self._loop
+        if not source.open():
+            return False
+        self._source = source
+
+        with self._prefs_mutex:
+            # Seed the magnification framerate from the source's true rate and
+            # re-apply remembered playback fps.
+            self._mag_params = dataclasses.replace(
+                self._mag_params, framerate=source.reported_fps()
+            )
+            if self._playback_fps is not None and not self._is_camera:
+                source.set_playback_fps(self._playback_fps)
+        self._publish_config()
+
+        self._chain = ProcessingChain(self._queue, self.mailbox, self._config, self._instr)
+        self._chain.start()   # consumer first
+        source.start()        # producer second (starts paused)
+        return True
+
+    # -- transport -------------------------------------------------------------------------------
+
+    def play(self) -> None:
+        src = self._source
+        if src is None:
+            if self._source_factory is not None:
+                self._build_and_start()
+                src = self._source
+            else:
+                return
+        if src.finished():
+            # Dead source (e.g. wedged camera): rebuild from the factory.
+            self._build_and_start()
+            src = self._source
+        if src.at_end():
+            src.seek_frame(0)
+        src.play()
+
+    def pause(self) -> None:
+        if self._source is not None:
+            self._source.pause()
+
+    def stop(self) -> None:
+        """Seekable file: keep loaded, rewind; camera: full teardown (:141-153)."""
+        if self._source is not None and self._source.seekable():
+            self._source.pause()
+            self._source.seek_frame(0)
+            self.mailbox.clear()
+        else:
+            self._teardown_threads()
+            self._source = None
+            self.mailbox.clear()
+
+    def close(self) -> None:
+        self._teardown_threads()
+        self._source = None
+        self._source_factory = None
+        self.mailbox.clear()
+
+    def _teardown_threads(self) -> None:
+        # Unblock BEFORE joining: producers may be stuck in push/acquire.
+        self._queue.stop()
+        self._pool.stop()
+        if self._source is not None:
+            self._source.stop()
+        if self._chain is not None:
+            self._chain.stop()
+            self._chain = None
+        self._queue.reset()
+        self._pool.reset()
+
+    # -- timeline --------------------------------------------------------------------------------
+
+    def seekable(self) -> bool:
+        return self._source is not None and self._source.seekable()
+
+    def frame_count(self) -> int:
+        return self._source.frame_count() if self._source else 0
+
+    def current_frame(self) -> int:
+        return self._source.current_frame() if self._source else 0
+
+    def seek_frame(self, frame: int) -> None:
+        if self._source is not None:
+            self._source.seek_frame(frame)
+
+    def set_in_out(self, in_frame: int, out_frame: int) -> None:
+        if self._source is not None:
+            self._source.set_in_out(in_frame, out_frame)
+
+    def at_end(self) -> bool:
+        return self._source.at_end() if self._source else False
+
+    # -- live config -----------------------------------------------------------------------------
+
+    def set_loop(self, loop: bool) -> None:
+        with self._prefs_mutex:
+            self._loop = loop
+        if self._source is not None:
+            self._source.loop = loop
+
+    def set_playback_fps(self, fps: float) -> None:
+        with self._prefs_mutex:
+            self._playback_fps = fps
+        if self._source is not None:
+            self._source.set_playback_fps(fps)
+
+    def set_grayscale(self, enabled: bool) -> None:
+        with self._prefs_mutex:
+            self._grayscale = enabled
+        self._publish_config()
+
+    def set_downscale(self, divisor: int) -> None:
+        with self._prefs_mutex:
+            self._preprocess = dataclasses.replace(self._preprocess, downscale=divisor)
+        self._publish_config()
+
+    def set_roi(self, x: float, y: float, w: float, h: float) -> None:
+        """Compose a drag (relative to the DISPLAYED, already-cropped image) onto
+        the active ROI (PlaybackController.cpp:210-227)."""
+        with self._prefs_mutex:
+            p = self._preprocess
+            if p.roi_enabled:
+                nx = p.roi_x + x * p.roi_w
+                ny = p.roi_y + y * p.roi_h
+                nw = w * p.roi_w
+                nh = h * p.roi_h
+            else:
+                nx, ny, nw, nh = x, y, w, h
+            self._preprocess = dataclasses.replace(
+                p, roi_enabled=True, roi_x=nx, roi_y=ny, roi_w=nw, roi_h=nh
+            )
+        self._publish_config()
+
+    def reset_roi(self) -> None:
+        with self._prefs_mutex:
+            self._preprocess = dataclasses.replace(
+                self._preprocess, roi_enabled=False,
+                roi_x=0.0, roi_y=0.0, roi_w=1.0, roi_h=1.0,
+            )
+        self._publish_config()
+
+    def set_magnification(self, params: MagnificationParams) -> None:
+        with self._prefs_mutex:
+            fps = self._mag_params.framerate
+            self._mag_params = dataclasses.replace(params, framerate=params.framerate or fps)
+        self._publish_config()
+
+    def set_magnify_active(self, active: bool) -> None:
+        with self._prefs_mutex:
+            self._magnify_active = active
+        self._publish_config()
+
+    def config_snapshot(self) -> ProcessorConfig:
+        with self._prefs_mutex:
+            return self._compose_config_locked()
+
+    def _compose_config_locked(self) -> ProcessorConfig:
+        mag = self._mag_params
+        if not self._magnify_active:
+            mag = dataclasses.replace(mag, mode=MagnificationMode.NONE)
+        return ProcessorConfig(
+            grayscale=self._grayscale, preprocess=self._preprocess, magnification=mag
+        )
+
+    def _publish_config(self) -> None:
+        with self._prefs_mutex:
+            cfg = self._compose_config_locked()
+        self._config.publish(cfg)
+
+    # -- camera recording ------------------------------------------------------------------------
+
+    def begin_camera_recording(self, sink) -> bool:
+        if self._source is None or not self._is_camera:
+            return False
+        self._source.set_record_target(sink)
+        return True
+
+    def end_camera_recording(self) -> None:
+        """Ordered stop: close sink upstream happens first (caller), then detach
+        after the grab loop has observed it (:244-263)."""
+        if self._source is not None:
+            self._source.set_record_target(None)
+            time.sleep(0.05)  # quiesce: let an in-flight append finish
+
+    # -- stats -----------------------------------------------------------------------------------
+
+    def stats(self) -> StatsSnapshot:
+        return self._instr.snapshot(
+            queue_depth=self._queue.depth(), source_drops=self._queue.drops
+        )
+
+    @property
+    def is_camera(self) -> bool:
+        return self._is_camera
+
+    def reported_fps(self) -> float:
+        return self._source.reported_fps() if self._source else 0.0

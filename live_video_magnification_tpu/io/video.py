@@ -1,0 +1,83 @@
+"""Video file decode/encode via OpenCV's bundled FFmpeg.
+
+The framework-level equivalent of the reference's cv::VideoCapture /
+cv::VideoWriter usage (FileSource.cpp, Exporter.cpp:92-118), exposed as plain
+functions for batch workflows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def video_info(path: str) -> Tuple[int, int, int, float]:
+    """(frames, height, width, fps); frames may be 0 when the container lies."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {path}")
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT) or 0)
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH) or 0)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    cap.release()
+    return n, h, w, fps
+
+
+def iter_video(path: str, start: int = 0, end: Optional[int] = None) -> Iterator[np.ndarray]:
+    """Yield HWC u8 BGR frames of [start, end)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video: {path}")
+    if start:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+    pos = start
+    try:
+        while end is None or pos < end:
+            ok, img = cap.read()
+            if not ok:
+                return
+            pos += 1
+            yield img
+    finally:
+        cap.release()
+
+
+def read_video(path: str, start: int = 0, end: Optional[int] = None) -> Tuple[np.ndarray, float]:
+    """Read [start, end) into a [T, H, W, C] u8 array. Returns (frames, fps)."""
+    _, _, _, fps = video_info(path)
+    frames = list(iter_video(path, start, end))
+    if not frames:
+        raise IOError(f"no frames decoded from {path}")
+    return np.stack(frames), fps
+
+
+def write_video(path: str, frames: np.ndarray, fps: float, fourcc: str = "mp4v") -> str:
+    """Write [T, H, W, C] or [T, H, W] u8 frames; falls back to MJPG .avi.
+
+    Returns the path actually written."""
+    import cv2
+
+    t = frames.shape[0]
+    h, w = frames.shape[1], frames.shape[2]
+    color = frames.ndim == 4 and frames.shape[3] == 3
+
+    def _open(p, fc):
+        wtr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*fc), fps, (w, h), color)
+        return wtr if wtr.isOpened() else None
+
+    writer = _open(path, fourcc)
+    if writer is None:
+        path = path.rsplit(".", 1)[0] + ".avi"
+        writer = _open(path, "MJPG")
+    if writer is None:
+        raise IOError("no usable video writer")
+    for i in range(t):
+        writer.write(frames[i])
+    writer.release()
+    return path

@@ -82,6 +82,7 @@ class ChainStep(NamedTuple):
     """A compiled chain step + its state constructor."""
 
     fn: object       # jitted (state, frame_u8, dyn) -> (state, processed, original)
+    raw_fn: object   # the unjitted step (for embedding in lax.scan batch loops)
     init_state: object
     key: _StaticKey
 
@@ -130,7 +131,7 @@ def _build_step(key: _StaticKey) -> ChainStep:
         new_state, out = model_step(state, magin, dyn)
         return new_state, out, original
 
-    return ChainStep(jax.jit(step, donate_argnums=(0,)), init, key)
+    return ChainStep(jax.jit(step, donate_argnums=(0,)), step, init, key)
 
 
 class MagnificationChain:

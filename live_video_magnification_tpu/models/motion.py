@@ -55,8 +55,10 @@ class MotionState(NamedTuple):
 
 def init_state(h: int, w: int, channels: int, levels: int) -> MotionState:
     sizes = [(h, w)] + pyramid_sizes(h, w, levels)
-    zeros = tuple(jnp.zeros((channels, lh, lw), jnp.float32) for lh, lw in sizes)
-    return MotionState(jnp.zeros((), jnp.int32), zeros, zeros)
+    # Distinct arrays per leaf: shared buffers would break argument donation.
+    hi = tuple(jnp.zeros((channels, lh, lw), jnp.float32) for lh, lw in sizes)
+    lo = tuple(jnp.zeros((channels, lh, lw), jnp.float32) for lh, lw in sizes)
+    return MotionState(jnp.zeros((), jnp.int32), hi, lo)
 
 
 def step(

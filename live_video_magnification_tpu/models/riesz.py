@@ -70,9 +70,9 @@ class RieszState(NamedTuple):
 
 
 def _zero_filter_level(h: int, w: int) -> FilterLevelState:
-    z = jnp.zeros((h, w), jnp.float32)
-    zc = CompExp(z, z)
-    return FilterLevelState(zc, zc, zc)
+    # Distinct arrays per leaf: shared buffers would break argument donation.
+    z = lambda: jnp.zeros((h, w), jnp.float32)
+    return FilterLevelState(CompExp(z(), z()), CompExp(z(), z()), CompExp(z(), z()))
 
 
 def init_state(h: int, w: int, levels: int) -> RieszState:
@@ -84,8 +84,9 @@ def init_state(h: int, w: int, levels: int) -> RieszState:
         )
         for lh, lw in sizes
     )
-    filt = tuple(_zero_filter_level(lh, lw) for lh, lw in sizes[: levels - 1])
-    return RieszState(jnp.zeros((), jnp.int32), old, filt, filt)
+    lo = tuple(_zero_filter_level(lh, lw) for lh, lw in sizes[: levels - 1])
+    hi = tuple(_zero_filter_level(lh, lw) for lh, lw in sizes[: levels - 1])
+    return RieszState(jnp.zeros((), jnp.int32), old, lo, hi)
 
 
 def step(

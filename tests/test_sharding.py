@@ -1,0 +1,126 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh.
+
+SURVEY.md §4(d): sharded must equal single-device within tolerance — here one
+u8 LSB (the SPMD partitioner may reassociate float reductions).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from live_video_magnification_tpu.models import color as color_mode
+from live_video_magnification_tpu.models import motion as motion_mode
+from live_video_magnification_tpu.models import riesz as riesz_mode
+from live_video_magnification_tpu.models.params import MagnificationMode, motion_hz_to_blend
+from live_video_magnification_tpu.parallel.mesh import make_mesh
+from live_video_magnification_tpu.parallel.sharding import build_sharded_step
+
+from oracle import synthetic_clip
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+
+
+def assert_u8_close(a, b, max_lsb=1):
+    """Sharded == single-device within one u8 LSB: the SPMD partitioner may
+    reassociate float reductions, shifting rounding on a handful of pixels."""
+    d = np.abs(a.astype(np.int16) - b.astype(np.int16))
+    assert d.max() <= max_lsb, f"max diff {d.max()} LSB on {(d > max_lsb).sum()} px"
+
+FPS = 30.0
+
+
+def _frames(batch, t, h, w):
+    clips = []
+    for b in range(batch):
+        clip = synthetic_clip(t, h, w, color=True, seed=100 + b)
+        clips.append(np.stack([np.moveaxis(f, -1, 0) for f in clip]))
+    return np.stack(clips)  # [B, T, C, H, W]
+
+
+def _riesz_dyn(levels):
+    import math
+
+    from live_video_magnification_tpu.ops.temporal import butterworth_bandpass_coeffs
+
+    b_lo, a_lo = butterworth_bandpass_coeffs(0.5, FPS)
+    b_hi, a_hi = butterworth_bandpass_coeffs(3.0, FPS)
+    return riesz_mode.RieszDynParams(
+        jnp.float32(30.0), jnp.float32(0.5 * math.pi),
+        jnp.asarray(b_lo, jnp.float32), jnp.asarray(a_lo, jnp.float32),
+        jnp.asarray(b_hi, jnp.float32), jnp.asarray(a_hi, jnp.float32),
+        jnp.asarray(False), jnp.asarray(False),
+    )
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
+def test_sharded_riesz_equals_single_device(mesh_shape):
+    batch, t, h, w, levels = 2, 4, 64, 64, 3
+    frames = _frames(batch, t, h, w)
+    dyn = _riesz_dyn(levels)
+    mesh = make_mesh(mesh_shape, ("batch", "tile"))
+    step, state = build_sharded_step(mesh, MagnificationMode.PHASE, batch, h, w, levels, FPS)
+
+    # single-device reference: plain per-stream stepping
+    ref_states = [riesz_mode.init_state(h, w, levels) for _ in range(batch)]
+    for ti in range(t):
+        outs_ref = []
+        for b in range(batch):
+            ref_states[b], o = riesz_mode.step(
+                ref_states[b], jnp.asarray(frames[b, ti]), dyn, levels=levels
+            )
+            outs_ref.append(np.asarray(o))
+        state, out = step(state, jnp.asarray(frames[:, ti]), dyn)
+        assert_u8_close(np.asarray(out), np.stack(outs_ref))
+
+
+def test_sharded_color_equals_single_device():
+    batch, t, h, w, levels = 2, 5, 64, 64, 2
+    frames = _frames(batch, t, h, w)
+    dyn = color_mode.ColorDynParams(jnp.float32(80.0), jnp.float32(0.8), jnp.float32(1.5))
+    mesh = make_mesh((2, 4), ("batch", "tile"))
+    step, state = build_sharded_step(mesh, MagnificationMode.COLOR, batch, h, w, levels, FPS)
+
+    ref_states = [color_mode.init_state(h, w, 3, levels, FPS) for _ in range(batch)]
+    for ti in range(t):
+        outs_ref = []
+        for b in range(batch):
+            ref_states[b], o = color_mode.step(
+                ref_states[b], jnp.asarray(frames[b, ti]), dyn, levels=levels, framerate=FPS
+            )
+            outs_ref.append(np.asarray(o))
+        state, out = step(state, jnp.asarray(frames[:, ti]), dyn)
+        assert_u8_close(np.asarray(out), np.stack(outs_ref))
+
+
+def test_sharded_motion_equals_single_device():
+    batch, t, h, w, levels = 2, 4, 64, 64, 3
+    frames = _frames(batch, t, h, w)
+    dyn = motion_mode.MotionDynParams(
+        jnp.float32(15.0), jnp.float32(300.0),
+        jnp.float32(motion_hz_to_blend(1.0, FPS)),
+        jnp.float32(motion_hz_to_blend(3.0, FPS)),
+        jnp.float32(0.5),
+    )
+    mesh = make_mesh((2, 4), ("batch", "tile"))
+    step, state = build_sharded_step(mesh, MagnificationMode.LAPLACE, batch, h, w, levels, FPS)
+
+    ref_states = [motion_mode.init_state(h, w, 3, levels) for _ in range(batch)]
+    for ti in range(t):
+        outs_ref = []
+        for b in range(batch):
+            ref_states[b], o = motion_mode.step(
+                ref_states[b], jnp.asarray(frames[b, ti]), dyn, levels=levels
+            )
+            outs_ref.append(np.asarray(o))
+        state, out = step(state, jnp.asarray(frames[:, ti]), dyn)
+        assert_u8_close(np.asarray(out), np.stack(outs_ref))
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
