@@ -80,16 +80,22 @@ def main() -> int:
 
     frame = jnp.asarray(frame_np)
 
+    # Synchronize via a device-side scalar reduction + 1-element readback: on the
+    # axon TPU relay, block_until_ready returns at dispatch time, and fetching a
+    # full frame crawls through the tunnel — a checksum scalar is the only
+    # trustworthy barrier (and doubles as proof the computation ran).
+    checksum = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
+
     t_compile0 = time.monotonic()
     for _ in range(max(1, args.warmup)):
         state, out = step(state, frame, dyn)
-    jax.block_until_ready(out)
+    warm_sum = int(checksum(out))
     compile_s = time.monotonic() - t_compile0
 
     t0 = time.monotonic()
     for _ in range(args.steps):
         state, out = step(state, frame, dyn)
-    jax.block_until_ready(out)
+    final_sum = int(checksum(out))
     dt = time.monotonic() - t0
     fps = args.steps / dt
 
@@ -101,7 +107,8 @@ def main() -> int:
         "vs_baseline": round(fps / 60.0, 3),
     }))
     print(f"# device={jax.devices()[0].device_kind} levels={levels} "
-          f"warmup+compile={compile_s:.1f}s steady={dt/args.steps*1e3:.1f}ms/frame",
+          f"warmup+compile={compile_s:.1f}s steady={dt/args.steps*1e3:.1f}ms/frame "
+          f"checksum={final_sum}",
           file=sys.stderr)
     return 0
 
