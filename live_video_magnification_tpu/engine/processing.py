@@ -30,6 +30,7 @@ from live_video_magnification_tpu.models.params import ProcessorConfig
 
 
 def frame_to_chw(data: np.ndarray) -> np.ndarray:
+    """HWC (decode layout) -> planar CHW, for the batch/raw step paths."""
     if data.ndim == 2:
         return data[None]
     return np.ascontiguousarray(np.moveaxis(data, -1, 0))
@@ -40,6 +41,14 @@ def chw_to_hwc(arr) -> np.ndarray:
     if a.shape[0] == 1:
         return a[0]
     return np.ascontiguousarray(np.moveaxis(a, 0, -1))
+
+
+def hwc_result(arr) -> np.ndarray:
+    """Device [H, W, C] result -> numpy, squeezing gray to [H, W]."""
+    a = np.asarray(arr)
+    if a.ndim == 3 and a.shape[2] == 1:
+        return a[..., 0]
+    return a
 
 
 class ProcessingChain:
@@ -80,11 +89,9 @@ class ProcessingChain:
                 return  # stopped
             cfg = self._config.read() or ProcessorConfig()
             try:
-                processed_dev, original_dev = self._chain.process(
-                    frame_to_chw(frame.data), cfg
-                )
-                processed = chw_to_hwc(processed_dev)
-                original = chw_to_hwc(original_dev)
+                processed_dev, original_dev = self._chain.process(frame.data, cfg)
+                processed = hwc_result(processed_dev)
+                original = hwc_result(original_dev)
                 pf = Frame(
                     seq=frame.seq, pts_us=frame.pts_us, capture_ts=frame.capture_ts,
                     width=processed.shape[1], height=processed.shape[0],

@@ -22,7 +22,7 @@ import numpy as np
 
 from live_video_magnification_tpu.engine.frame import Frame, PixelFormat, now
 from live_video_magnification_tpu.engine.mailbox import DisplayFrame, LatestFrameMailbox
-from live_video_magnification_tpu.engine.processing import chw_to_hwc, frame_to_chw
+from live_video_magnification_tpu.engine.processing import hwc_result
 from live_video_magnification_tpu.export.sources import IExportFrameSource
 from live_video_magnification_tpu.export.types import (
     ExportFormat,
@@ -177,9 +177,9 @@ class Exporter:
                 raw = source.next()
                 if raw is None:
                     break
-                processed_dev, original_dev = chain.process(frame_to_chw(raw), req.config)
-                processed = chw_to_hwc(processed_dev)
-                original = chw_to_hwc(original_dev)
+                processed_dev, original_dev = chain.process(raw, req.config)
+                processed = hwc_result(processed_dev)
+                original = hwc_result(original_dev)
 
                 if self._preview is not None:
                     ts = now()

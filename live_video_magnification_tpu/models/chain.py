@@ -131,7 +131,19 @@ def _build_step(key: _StaticKey) -> ChainStep:
         new_state, out = model_step(state, magin, dyn)
         return new_state, out, original
 
-    return ChainStep(jax.jit(step, donate_argnums=(0,)), step, init, key)
+    def step_hwc(state, frame_hwc_u8, dyn):
+        """Same step with HWC u8 IO: layout transforms run on device, so the
+        host hands over frames exactly as decoded (no 2x memcpy per frame)."""
+        frame = jnp.transpose(frame_hwc_u8, (2, 0, 1))
+        new_state, out, original = step(state, frame, dyn)
+        return (
+            new_state,
+            jnp.transpose(out, (1, 2, 0)),
+            jnp.transpose(original, (1, 2, 0)),
+        )
+
+    compiled = jax.jit(step_hwc, donate_argnums=(0,))
+    return ChainStep(compiled, step, init, key)
 
 
 class MagnificationChain:
@@ -216,12 +228,15 @@ class MagnificationChain:
             float(cfg.magnification.framerate),
         )
 
-    def process(self, frame_u8_chw, cfg: ProcessorConfig):
-        """Run the chain once. frame_u8_chw: [C, H, W] uint8 (device or host array).
+    def process(self, frame_u8_hwc, cfg: ProcessorConfig):
+        """Run the chain once. frame_u8_hwc: [H, W, C] or [H, W] uint8 — the
+        decode layout; planarization happens on device inside the jitted step.
 
-        Returns (processed_u8, original_u8) device arrays, both [C', H', W'].
+        Returns (processed_u8, original_u8) device arrays, both [H', W', C'].
         """
-        c, h, w = frame_u8_chw.shape
+        if frame_u8_hwc.ndim == 2:
+            frame_u8_hwc = frame_u8_hwc[..., None]
+        h, w, c = frame_u8_hwc.shape
         key = self.static_key(cfg, h, w, c)
 
         if key not in self._steps:
@@ -238,5 +253,7 @@ class MagnificationChain:
             self._riesz_coeffs = None
 
         dyn = self._dyn_params(cfg, key)
-        self._state, processed, original = step.fn(self._state, jnp.asarray(frame_u8_chw), dyn)
+        self._state, processed, original = step.fn(
+            self._state, jnp.asarray(frame_u8_hwc), dyn
+        )
         return processed, original

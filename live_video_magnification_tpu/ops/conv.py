@@ -16,9 +16,31 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
+
+# Dense-2D kernel implementation: "slices" (shifted multiply-adds, relies on XLA
+# elementwise fusion) or "conv" (lax.conv_general_dilated, XLA's native conv
+# path). Selected per-platform at trace time; override with LVMT_CONV_IMPL.
+_CONV_IMPL = os.environ.get("LVMT_CONV_IMPL", "auto")
+
+
+def set_conv_impl(impl: str) -> None:
+    global _CONV_IMPL
+    assert impl in ("auto", "slices", "conv")
+    _CONV_IMPL = impl
+
+
+def _dense_impl() -> str:
+    if _CONV_IMPL != "auto":
+        return _CONV_IMPL
+    import jax
+
+    # TPU: the native conv op beats a chain of 81 shifted adds; CPU: slices win.
+    return "conv" if jax.default_backend() != "cpu" else "slices"
 
 
 def reflect_pad(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:
@@ -56,13 +78,7 @@ def sep_correlate2d(x: jnp.ndarray, kr, kc) -> jnp.ndarray:
     return out
 
 
-def correlate2d(x: jnp.ndarray, kernel) -> jnp.ndarray:
-    """Dense 2-D correlation with a static [kh, kw] kernel, reflect-101 border.
-
-    Implemented as kh row-passes of kw shifted adds; XLA fuses these into a single
-    VPU stencil over the padded tile.
-    """
-    k = np.asarray(kernel, dtype=np.float64)
+def _correlate2d_slices(x: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
     kh, kw = k.shape
     rh, rw = kh // 2, kw // 2
     h, w = x.shape[-2], x.shape[-1]
@@ -73,6 +89,29 @@ def correlate2d(x: jnp.ndarray, kernel) -> jnp.ndarray:
         term = _shifted_taps_sum(row, k[i].tolist(), axis=row.ndim - 1, out_len=w)
         acc = term if acc is None else acc + term
     return acc
+
+
+def _correlate2d_conv(x: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
+    kh, kw = k.shape
+    rh, rw = kh // 2, kw // 2
+    lead = x.shape[:-2]
+    h, w = x.shape[-2], x.shape[-1]
+    padded = reflect_pad(x, rh, rw).reshape((-1, 1, h + 2 * rh, w + 2 * rw))
+    rhs = jnp.asarray(k, x.dtype).reshape(1, 1, kh, kw)
+    out = lax.conv_general_dilated(
+        padded, rhs, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=lax.Precision.HIGHEST,
+    )
+    return out.reshape(lead + (h, w))
+
+
+def correlate2d(x: jnp.ndarray, kernel) -> jnp.ndarray:
+    """Dense 2-D correlation with a static [kh, kw] kernel, reflect-101 border."""
+    k = np.asarray(kernel, dtype=np.float64)
+    if _dense_impl() == "conv":
+        return _correlate2d_conv(x, k)
+    return _correlate2d_slices(x, k)
 
 
 def correlate_rows(x: jnp.ndarray, taps) -> jnp.ndarray:

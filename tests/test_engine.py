@@ -146,7 +146,7 @@ def test_chain_identity_and_structural_reset():
     cfg_none = ProcessorConfig(
         magnification=MagnificationParams(mode=MagnificationMode.NONE)
     )
-    frame = np.random.default_rng(0).integers(0, 255, (3, 32, 40), np.uint8)
+    frame = np.random.default_rng(0).integers(0, 255, (32, 40, 3), np.uint8)
     processed, original = chain.process(frame, cfg_none)
     np.testing.assert_array_equal(np.asarray(processed), frame)
     np.testing.assert_array_equal(np.asarray(original), frame)
@@ -156,8 +156,8 @@ def test_chain_identity_and_structural_reset():
         grayscale=True, magnification=MagnificationParams(mode=MagnificationMode.NONE)
     )
     processed, original = chain.process(frame, cfg_gray)
-    assert np.asarray(processed).shape[0] == 1
-    assert np.asarray(original).shape[0] == 3
+    assert np.asarray(processed).shape[2] == 1
+    assert np.asarray(original).shape[2] == 3
 
     # structural change (levels) resets temporal state: first frame after the
     # change behaves like a first frame (motion mode -> output == input roundtrip)
@@ -186,7 +186,7 @@ def test_too_small_frame_is_identity():
     cfg = ProcessorConfig(
         magnification=MagnificationParams(mode=MagnificationMode.LAPLACE, levels=3)
     )
-    frame = np.random.default_rng(0).integers(0, 255, (3, 5, 5), np.uint8)
+    frame = np.random.default_rng(0).integers(0, 255, (5, 5, 3), np.uint8)
     processed, _ = chain.process(frame, cfg)
     np.testing.assert_array_equal(np.asarray(processed), frame)
 

@@ -43,12 +43,12 @@ def _clip(t=8, h=32, w=40):
 
 
 def test_batch_scan_equals_streaming_chain():
-    frames = _clip()
+    frames = _clip()  # [T, C, H, W]
     chain = MagnificationChain()
     stream_out = []
     for i in range(frames.shape[0]):
-        p, _ = chain.process(frames[i], CFG)
-        stream_out.append(np.asarray(p))
+        p, _ = chain.process(np.moveaxis(frames[i], 0, -1), CFG)  # chain API is HWC
+        stream_out.append(np.moveaxis(np.asarray(p), -1, 0))
     proc = ClipProcessor(CFG, 32, 40, 3)
     batch_p, batch_o = proc.process_chunk(frames)
     np.testing.assert_array_equal(batch_p, np.stack(stream_out))

@@ -147,3 +147,14 @@ def test_nearest_inject_matches_opencv(h, w):
     ref[::2, ::2] = up[::2, ::2]
     got = np.asarray(resize_nearest_even_inject(jnp.asarray(small), (h, w)))
     np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+def test_conv_impls_agree():
+    """The lax.conv path (TPU) must match the shifted-adds path (CPU golden)."""
+    from live_video_magnification_tpu.ops import conv as convmod
+    from live_video_magnification_tpu.ops.kernels import RIESZ_HIGHPASS_9x9
+
+    img = rand_img(47, 61)
+    a = np.asarray(convmod._correlate2d_slices(jnp.asarray(img), RIESZ_HIGHPASS_9x9.astype(np.float64)))
+    b = np.asarray(convmod._correlate2d_conv(jnp.asarray(img), RIESZ_HIGHPASS_9x9.astype(np.float64)))
+    np.testing.assert_allclose(a, b, atol=2e-6)
