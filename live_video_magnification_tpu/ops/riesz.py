@@ -18,8 +18,10 @@ only, MagnifyCore.hpp:217-222). Levels are a static-length list (pytree).
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from live_video_magnification_tpu.ops.conv import (
@@ -67,15 +69,38 @@ def _band_build(octave: jnp.ndarray) -> RieszLevel:
     return RieszLevel(lowpass=octave, riesz=CompExp(r, i))
 
 
+def _use_fused_build(h: int, w: int) -> bool:
+    """Pallas fused level build: on for TPU-class backends, off on CPU (where the
+    interpreter would crawl) and for tiny levels. Override with LVMT_PALLAS=0/1."""
+    flag = os.environ.get("LVMT_PALLAS", "auto")
+    from live_video_magnification_tpu.ops.pallas.riesz_build import MIN_FUSED_DIM
+
+    if min(h, w) < MIN_FUSED_DIM or flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() != "cpu"
+
+
 def build_riesz_pyramid(frame: jnp.ndarray, levels: int) -> List[RieszLevel]:
     """buildPyramid (:215-238): levels-1 band levels + untouched final octave."""
     pyr = []
     octave = frame
     for _ in range(levels - 1):
-        hp = correlate2d(octave, RIESZ_HIGHPASS_9x9)
-        pyr.append(_band_build(hp))
-        lp = correlate2d(octave, 2.0 * RIESZ_LOWPASS_9x9)
-        octave = _subsample(lp)
+        h, w = octave.shape[-2], octave.shape[-1]
+        if octave.ndim == 2 and _use_fused_build(h, w):
+            from live_video_magnification_tpu.ops.pallas.riesz_build import (
+                riesz_build_level_fused,
+            )
+
+            hp, r, i, sub = riesz_build_level_fused(octave)
+            pyr.append(RieszLevel(lowpass=hp, riesz=CompExp(r, i)))
+            octave = sub
+        else:
+            hp = correlate2d(octave, RIESZ_HIGHPASS_9x9)
+            pyr.append(_band_build(hp))
+            lp = correlate2d(octave, 2.0 * RIESZ_LOWPASS_9x9)
+            octave = _subsample(lp)
     pyr.append(_band_build(octave))
     return pyr
 
