@@ -42,6 +42,7 @@ def _config_from_args(args, source_fps: float):
         MagnificationMode,
         PreprocessParams,
         ProcessorConfig,
+        clamp_band_to_nyquist,
         defaults_for,
         to_params,
     )
@@ -66,6 +67,7 @@ def _config_from_args(args, source_fps: float):
         ui.chroma = args.chroma
     if args.levels is not None:
         ui.levels = args.levels
+    clamp_band_to_nyquist(ui)
     pre = PreprocessParams(downscale=args.downscale)
     if args.roi is not None:
         x, y, w, h = args.roi

@@ -125,6 +125,18 @@ def defaults_for(mode: MagnificationMode) -> MagUiValues:
     return v
 
 
+def clamp_band_to_nyquist(v: MagUiValues) -> MagUiValues:
+    """The panel's Nyquist clamp: band range is [0.05, fps/2]
+    (reference MagnificationControls.cpp:256-260)."""
+    fps = v.capture_fps if v.capture_fps > 0 else 30.0
+    lo_min, hi_max = 0.05, fps / 2.0
+    v.low = min(max(v.low, lo_min), hi_max)
+    v.high = min(max(v.high, lo_min), hi_max)
+    if v.high < v.low:
+        v.low, v.high = v.high, v.low
+    return v
+
+
 def to_params(v: MagUiValues) -> MagnificationParams:
     """UI units -> algorithm units (MagnificationParamsUi.hpp:74-103)."""
     common = dict(

@@ -78,3 +78,33 @@ def test_clamped_arccos_reference_quirk():
     assert got[-2] == 1.0
     np.testing.assert_allclose(got[1:7][:-1], np.arccos(x[1:6]), atol=1e-6)
     assert np.isnan(got[-1])
+
+
+def test_phase_difference_on_translating_sinusoid():
+    """SURVEY §4(a): Riesz phase on a synthetic translating sinusoid.
+
+    For a horizontal sinusoid translated by dx, the quaternionic phase
+    difference magnitude should approximate 2*pi*f*dx, oriented horizontally
+    (cos component carries it, sin component ~0)."""
+    from live_video_magnification_tpu.ops.riesz import (
+        build_riesz_pyramid,
+        phase_difference_and_amplitude,
+    )
+
+    h, w = 64, 128
+    freq = 1.0 / 16.0          # cycles per pixel
+    dx = 0.5                   # pixels
+    x = np.arange(w)[None, :] + np.zeros((h, 1))
+    f0 = np.sin(2 * np.pi * freq * x).astype(np.float32)
+    f1 = np.sin(2 * np.pi * freq * (x - dx)).astype(np.float32)
+
+    p0 = build_riesz_pyramid(jnp.asarray(f0), 3)
+    p1 = build_riesz_pyramid(jnp.asarray(f1), 3)
+    pr = phase_difference_and_amplitude(p1[0], p0[0])
+    # interior region, away from borders
+    cos_c = np.asarray(pr.phase_diff.cos)[16:48, 32:96]
+    sin_c = np.asarray(pr.phase_diff.sin)[16:48, 32:96]
+    expected = 2 * np.pi * freq * dx
+    measured = np.abs(cos_c).mean()
+    assert abs(measured - expected) / expected < 0.2, (measured, expected)
+    assert np.abs(sin_c).mean() < 0.1 * expected  # orientation is horizontal
