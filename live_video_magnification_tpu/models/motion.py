@@ -142,3 +142,87 @@ def process_clip(
         return step(st, frame, dyn, levels=levels)
 
     return jax.lax.scan(body, state, frames_u8)
+
+
+def process_clip_parallel(
+    frames_u8: jnp.ndarray,  # [T, C, H, W] uint8
+    dyn: MotionDynParams,
+    *,
+    levels: int,
+) -> jnp.ndarray:
+    """Time-parallel batch export: the EMA recurrences as associative scans.
+
+    The two temporal low-passes are affine recurrences l_t = a*l_{t-1} + b_t
+    (a = 1-cutoff, b_t = cutoff*x_t), so the whole clip can be filtered with
+    lax.associative_scan over the time axis instead of a sequential carry —
+    O(log T) depth. This is the sequence-parallel formulation (SURVEY.md §5):
+    under a mesh the T axis can be sharded and XLA turns the scan combines at
+    shard boundaries into collectives. First-frame seeding (state = first
+    pyramid) falls out of running the scan from l_0 = x_0.
+
+    Returns the [T, C, H, W] u8 outputs (cold start; no carried state in/out —
+    use process_clip for chunked/streaming continuation).
+    """
+    t, c, h, w = frames_u8.shape
+    color = c >= 3
+
+    def to_input(frame_u8):
+        x = u8_to_unit_f32(frame_u8)
+        return bgr_to_lab(x) if color else x
+
+    inputs = jax.vmap(to_input)(frames_u8)                  # [T, C, H, W] f32
+    pyrs = jax.vmap(lambda im: tuple(build_laplace_pyr(im, levels)))(inputs)
+
+    co_low = jnp.where(dyn.co_low == 0.0, 0.01, dyn.co_low)
+    co_high = dyn.co_high
+
+    def ema_scan(xs, cutoff):
+        # l_t = (1-cutoff) l_{t-1} + cutoff x_t, l_0 = x_0  (first-frame seed)
+        a = jnp.concatenate(
+            [jnp.ones((1,), xs.dtype), jnp.full((t - 1,), 1.0 - cutoff, xs.dtype)]
+        )
+        b = jnp.concatenate([xs[:1], cutoff * xs[1:]], axis=0)
+        a = a.reshape((t,) + (1,) * (xs.ndim - 1))
+
+        def combine(lhs, rhs):
+            (a1, b1), (a2, b2) = lhs, rhs
+            return a1 * a2, a2 * b1 + b2
+
+        # `a` stays [T, 1, ...] — broadcasting inside combine avoids materializing
+        # a full frame-sized coefficient tensor.
+        _, l = jax.lax.associative_scan(combine, (a, b), axis=0)
+        return l
+
+    motion_levels = []
+    for lvl in range(levels):
+        xs = pyrs[lvl]
+        motion_levels.append(ema_scan(xs, co_high) - ema_scan(xs, co_low))
+    motion_levels.append(pyrs[levels])  # residual (zeroed below)
+
+    delta = dyn.co_wavelength / (8.0 * (1.0 + dyn.amplification))
+    lam = math.sqrt(float(w * w + h * h)) / 3.0
+    amplified = [None] * (levels + 1)
+    for lvl in range(levels, -1, -1):
+        curr_alpha = (lam / (delta * 8.0) - 1.0) * 2.0
+        if lvl == levels or lvl == 0:
+            amplified[lvl] = motion_levels[lvl] * 0.0
+        else:
+            amplified[lvl] = motion_levels[lvl] * jnp.minimum(
+                dyn.amplification, curr_alpha
+            ).astype(jnp.float32)
+        lam /= 2.0
+
+    def finalize(pyr_t, inp):
+        motion_img = collapse_laplace_pyr(pyr_t)
+        if color:
+            motion_img = motion_img * jnp.stack(
+                [
+                    jnp.ones((), jnp.float32),
+                    dyn.chrom_attenuation.astype(jnp.float32),
+                    dyn.chrom_attenuation.astype(jnp.float32),
+                ]
+            ).reshape(3, 1, 1)
+        out = inp + motion_img
+        return to_u8(lab_to_bgr(out) if color else out, 255.0, 1.0 / 255.0)
+
+    return jax.vmap(finalize)(tuple(amplified), inputs)

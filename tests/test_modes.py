@@ -165,3 +165,19 @@ def test_scan_equals_stepwise_motion():
     for i in range(t):
         state, out = motion_mode.step(state, arr[i], dyn, levels=levels)
         np.testing.assert_array_equal(np.asarray(scanned[i]), np.asarray(out))
+
+
+def test_parallel_clip_equals_sequential_motion():
+    """Time-parallel associative-scan export == sequential scan (u8-exact)."""
+    t, h, w, levels = 9, 32, 40, 2
+    frames = synthetic_clip(t, h, w, color=True, seed=21)
+    arr = jnp.asarray(np.stack([chw(f) for f in frames]))
+    dyn = motion_mode.MotionDynParams(
+        jnp.float32(18.0), jnp.float32(250.0),
+        jnp.float32(motion_hz_to_blend(0.8, FPS)), jnp.float32(motion_hz_to_blend(3.5, FPS)),
+        jnp.float32(0.4),
+    )
+    _, seq = motion_mode.process_clip(arr, dyn, levels=levels)
+    par = motion_mode.process_clip_parallel(arr, dyn, levels=levels)
+    d = np.abs(np.asarray(seq).astype(np.int16) - np.asarray(par).astype(np.int16))
+    assert d.max() <= 1, f"max diff {d.max()} LSB"  # reassociated EMA rounding
