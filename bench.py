@@ -31,6 +31,8 @@ from functools import partial
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="720p instead of 4K")
+    ap.add_argument("--res", default=None, help="HxW override, e.g. 480x640")
+    ap.add_argument("--levels", type=int, default=None)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--mode", default="phase", choices=["phase", "laplace", "color"])
     args = ap.parse_args()
@@ -39,12 +41,18 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    if args.small:
+    if args.res:
+        h, w = (int(v) for v in args.res.split("x"))
+        levels = args.levels or 4
+        name_res = f"{h}x{w}"
+    elif args.small:
         h, w, levels = 720, 1280, 5
         name_res = "720p"
     else:
         h, w, levels = 2160, 3840, 6
         name_res = "4k"
+    if args.levels:
+        levels = args.levels
 
     fps_cfg = 30.0
 

@@ -124,3 +124,18 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_explicit_halo_conv_matches_unsharded():
+    """parallel/halo.py: ppermute halo exchange + reflect-101 edges == full conv."""
+    from live_video_magnification_tpu.ops.conv import correlate2d
+    from live_video_magnification_tpu.ops.kernels import RIESZ_HIGHPASS_9x9
+    from live_video_magnification_tpu.parallel.halo import make_sharded_conv
+
+    mesh = make_mesh((8,), ("tile",))
+    h, w = 128, 96  # 16 rows per shard > halo of 4
+    x = jnp.asarray(np.random.default_rng(8).random((h, w)).astype(np.float32))
+    ref = np.asarray(correlate2d(x, RIESZ_HIGHPASS_9x9))
+    fn = make_sharded_conv(mesh, "tile", RIESZ_HIGHPASS_9x9)
+    got = np.asarray(fn(x))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
