@@ -123,11 +123,17 @@ def step(
     hi_state = tuple(masked(f) for f in state.hi)
 
     # Per active level: phase diff vs prior, then lo/hi DF-II IIR.
+    from live_video_magnification_tpu.ops.riesz import _use_fused_build
+
     new_lo: List[FilterLevelState] = []
     new_hi: List[FilterLevelState] = []
     lowpasses: List[jnp.ndarray] = []
     for lvl in range(levels - 1):
-        pr = phase_difference_and_amplitude(cur[lvl], old[lvl])
+        lh, lw = cur[lvl].lowpass.shape[-2], cur[lvl].lowpass.shape[-1]
+        fused_tail = cur[lvl].lowpass.ndim == 2 and _use_fused_build(lh, lw)
+        pr = phase_difference_and_amplitude(
+            cur[lvl], old[lvl], compute_blur=not fused_tail
+        )
         lo_res, lo_phase, lo_r0, lo_r1 = riesz_df2_step(
             lo_state[lvl].phase, lo_state[lvl].reg0, lo_state[lvl].reg1,
             pr.phase_diff, dyn.b_lo, dyn.a_lo,
@@ -139,10 +145,26 @@ def step(
         new_lo.append(FilterLevelState(lo_phase, lo_r0, lo_r1))
         new_hi.append(FilterLevelState(hi_phase, hi_r0, hi_r1))
 
-        normalized = normalize_phase(hi_res, lo_res, pr.amplitude, pr.amplitude_blurred)
-        lowpasses.append(
-            amplify_level(cur[lvl], normalized, dyn.amplification, dyn.threshold)
-        )
+        if fused_tail:
+            from live_video_magnification_tpu.ops.pallas.riesz_amplify import (
+                riesz_amplify_fused,
+            )
+
+            change = hi_res - lo_res
+            lowpasses.append(
+                riesz_amplify_fused(
+                    pr.amplitude, change.cos, change.sin,
+                    cur[lvl].lowpass, cur[lvl].riesz.cos, cur[lvl].riesz.sin,
+                    dyn.amplification, dyn.threshold,
+                )
+            )
+        else:
+            normalized = normalize_phase(
+                hi_res, lo_res, pr.amplitude, pr.amplitude_blurred
+            )
+            lowpasses.append(
+                amplify_level(cur[lvl], normalized, dyn.amplification, dyn.threshold)
+            )
     lowpasses.append(cur[levels - 1].lowpass)  # untouched residual octave
 
     magnified = collapse_riesz_pyramid(lowpasses)

@@ -81,20 +81,11 @@ def _kernel(p_hbm, hp_ref, r_ref, i_ref, sub_ref, oct_vmem, sem, *, tile: int, w
     r_ref[:, :] = racc
     i_ref[:, :] = iacc
 
-    # low-pass only at even output rows: rows 0, 2, ... tile-2 (tile even).
-    # lp[y, x] window starts at P[y + HALO - 4]; decimated row ys -> y = 2*ys.
-    lp2 = 2.0 * RIESZ_LOWPASS_9x9
-    sub_rows = tile // 2
-    acc = None
-    for a in range(9):
-        for b in range(9):
-            wgt = float(lp2[a, b])
-            if wgt == 0.0:
-                continue
-            rows = oct_[_HALO - 4 + a : _HALO - 4 + a + tile : 2,
-                        _HALO - 4 + b : _HALO - 4 + b + w]
-            acc = rows * wgt if acc is None else acc + rows * wgt
-    sub_ref[:, :] = acc[:, ::2]
+    # Full-resolution low-pass rows; 2x decimation happens outside the kernel
+    # (Mosaic cannot lower strided slices — they become unsupported gathers).
+    sub_ref[:, :] = _stencil_9x9(
+        oct_, 2.0 * RIESZ_LOWPASS_9x9, tile, w, _HALO - 4, _HALO - 4
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -109,7 +100,7 @@ def _run(padded: jnp.ndarray, interpret: bool = False):
         jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),       # hp
         jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),       # r
         jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),       # i
-        jax.ShapeDtypeStruct((h_pad // 2, w_pad // 2), jnp.float32),  # lp decimated
+        jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),       # lp (full res)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -119,7 +110,7 @@ def _run(padded: jnp.ndarray, interpret: bool = False):
             pl.BlockSpec((tile, w_pad), lambda i: (i, 0)),
             pl.BlockSpec((tile, w_pad), lambda i: (i, 0)),
             pl.BlockSpec((tile, w_pad), lambda i: (i, 0)),
-            pl.BlockSpec((tile // 2, w_pad // 2), lambda i: (i, 0)),
+            pl.BlockSpec((tile, w_pad), lambda i: (i, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((tile + 2 * _HALO, wp_pad), jnp.float32),
@@ -150,6 +141,5 @@ def riesz_build_level_fused(
     padded = jnp.pad(
         padded, ((0, h_pad - h), (0, w_pad - w)), mode="edge"
     )
-    hp, r, i, sub = _run(padded, interpret=interpret)
-    sub_h, sub_w = h // 2 + h % 2, w // 2 + w % 2
-    return hp[:h, :w], r[:h, :w], i[:h, :w], sub[:sub_h, :sub_w]
+    hp, r, i, lp_full = _run(padded, interpret=interpret)
+    return hp[:h, :w], r[:h, :w], i[:h, :w], lp_full[:h:2, :w:2]

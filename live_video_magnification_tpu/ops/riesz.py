@@ -128,7 +128,9 @@ class PhaseResult(NamedTuple):
     amplitude_blurred: jnp.ndarray
 
 
-def phase_difference_and_amplitude(cur: RieszLevel, prior: RieszLevel) -> PhaseResult:
+def phase_difference_and_amplitude(
+    cur: RieszLevel, prior: RieszLevel, compute_blur: bool = True
+) -> PhaseResult:
     """computePhaseDifferenceAndAmplitude (:81-111).
 
     Quaternion conjugate product cur * conj(prior); its log gives the phase
@@ -154,7 +156,8 @@ def phase_difference_and_amplitude(cur: RieszLevel, prior: RieszLevel) -> PhaseR
         patch_nans(orientation.cos * phi), patch_nans(orientation.sin * phi)
     )
     amplitude = jnp.sqrt(q_amp)
-    return PhaseResult(phase_diff, amplitude, amplitude_blur(amplitude))
+    blurred = amplitude_blur(amplitude) if compute_blur else amplitude
+    return PhaseResult(phase_diff, amplitude, blurred)
 
 
 def normalize_phase(

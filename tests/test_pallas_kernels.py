@@ -34,3 +34,34 @@ def test_riesz_build_level_fused_matches_ops(h, w):
     np.testing.assert_allclose(np.asarray(i), np.asarray(i_ref), atol=3e-4)
     assert sub.shape == lp_ref.shape
     np.testing.assert_allclose(np.asarray(sub), np.asarray(lp_ref), atol=3e-4)
+
+
+@pytest.mark.parametrize("h,w", [(64, 128), (50, 70), (33, 257)])
+def test_riesz_amplify_fused_matches_ops(h, w):
+    from live_video_magnification_tpu.ops.pallas.riesz_amplify import riesz_amplify_fused
+    from live_video_magnification_tpu.ops.riesz import (
+        RieszLevel,
+        amplify_level,
+        normalize_phase,
+    )
+    from live_video_magnification_tpu.ops.temporal import CompExp
+
+    r = lambda: jnp.asarray(RNG.random((h, w)).astype(np.float32) - 0.3)
+    amplitude = jnp.abs(r()) + 0.05
+    hi = CompExp(r(), r())
+    lo = CompExp(r(), r())
+    level = RieszLevel(r() * 50.0, CompExp(r(), r()))
+    alpha, threshold = 30.0, 1.2
+
+    from live_video_magnification_tpu.ops.riesz import amplitude_blur
+
+    normalized = normalize_phase(hi, lo, amplitude, amplitude_blur(amplitude))
+    ref = amplify_level(level, normalized, alpha, threshold)
+
+    change = hi - lo
+    got = riesz_amplify_fused(
+        amplitude, change.cos, change.sin,
+        level.lowpass, level.riesz.cos, level.riesz.sin,
+        alpha, threshold, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
