@@ -107,8 +107,11 @@ def main() -> int:
     state, chk = run_n(state, dyn, args.steps)
     warm = int(chk)
     compile_s = time.monotonic() - t0
+    # Scalar round-trip time: compile the probe first, then measure its 2nd call.
+    rtt_fn = jax.jit(lambda x: x + 1.0)
+    float(rtt_fn(jnp.float32(0.0)))
     t0 = time.monotonic()
-    _ = float(jax.jit(lambda: jnp.float32(1.0))())
+    _ = float(rtt_fn(jnp.float32(1.0)))
     rtt = time.monotonic() - t0
 
     t0 = time.monotonic()

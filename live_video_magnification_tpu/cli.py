@@ -151,6 +151,17 @@ def cmd_live(args) -> int:
     return 0
 
 
+def cmd_bench(args) -> int:
+    import runpy
+    import os
+
+    bench = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "bench.py")
+    sys.argv = [bench] + list(args.rest)
+    runpy.run_path(bench, run_name="__main__")
+    return 0
+
+
 def cmd_cameras(_args) -> int:
     from live_video_magnification_tpu.engine.source import enumerate_cameras
 
@@ -192,6 +203,10 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("cameras", help="enumerate capture devices")
     p.set_defaults(fn=cmd_cameras)
+
+    p = sub.add_parser("bench", help="run the headline benchmark (bench.py)")
+    p.add_argument("rest", nargs=argparse.REMAINDER)
+    p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
     return args.fn(args)

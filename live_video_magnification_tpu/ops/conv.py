@@ -37,10 +37,10 @@ def set_conv_impl(impl: str) -> None:
 def _dense_impl() -> str:
     if _CONV_IMPL != "auto":
         return _CONV_IMPL
-    import jax
-
-    # TPU: the native conv op beats a chain of 81 shifted adds; CPU: slices win.
-    return "conv" if jax.default_backend() != "cpu" else "slices"
+    # "slices" everywhere: measured on the axon v5e stack, conv_general_dilated
+    # at 4K crashed the TPU worker ("kernel fault"), while the shifted-add chain
+    # fuses cleanly; the Pallas kernels carry the hot 9x9 stencils instead.
+    return "slices"
 
 
 def reflect_pad(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:

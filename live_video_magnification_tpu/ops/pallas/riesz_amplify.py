@@ -30,6 +30,10 @@ from live_video_magnification_tpu.ops.kernels import AMPLITUDE_BLUR_KERNEL_1D
 
 _HALO = 6
 _TILE = 32
+# DMA strips are sublane-aligned (multiples of 8 rows): one strip height for all
+# six inputs, starting at the tile origin; blur math uses rows [0, tile+12),
+# pointwise math rows [HALO, HALO+tile).
+_STRIP = -(-(_TILE + 2 * _HALO) // 8) * 8
 MIN_FUSED_DIM = 16
 
 
@@ -55,19 +59,16 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, lp_hbm, rr_hbm, ri_hbm, out_ref,
     threshold = scalars[0, 1]
 
     strips = [
-        (amp_hbm, amp_v, tile + 2 * _HALO),
-        (cc_hbm, cc_v, tile + 2 * _HALO),
-        (cs_hbm, cs_v, tile + 2 * _HALO),
-        (lp_hbm, lp_v, tile),
-        (rr_hbm, rr_v, tile),
-        (ri_hbm, ri_v, tile),
+        (amp_hbm, amp_v),
+        (cc_hbm, cc_v),
+        (cs_hbm, cs_v),
+        (lp_hbm, lp_v),
+        (rr_hbm, rr_v),
+        (ri_hbm, ri_v),
     ]
     copies = []
-    for k, (src, dst, rows) in enumerate(strips):
-        # padded arrays: center region starts at row HALO; blur inputs need the
-        # halo, pointwise inputs only the tile rows.
-        offset = ti * tile if rows > tile else ti * tile + _HALO
-        cp = pltpu.make_async_copy(src.at[pl.ds(offset, rows), :], dst, sems.at[k])
+    for k, (src, dst) in enumerate(strips):
+        cp = pltpu.make_async_copy(src.at[pl.ds(ti * tile, _STRIP), :], dst, sems.at[k])
         cp.start()
         copies.append(cp)
     for cp in copies:
@@ -83,9 +84,9 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, lp_hbm, rr_hbm, ri_hbm, out_ref,
 
     mag = jnp.sqrt(nc * nc + ns * ns)
     mag2 = jnp.minimum(mag * alpha, threshold)  # cv::THRESH_TRUNC
-    lp = lp_v[:, _HALO : _HALO + w]
-    rr = rr_v[:, _HALO : _HALO + w]
-    ri = ri_v[:, _HALO : _HALO + w]
+    lp = lp_v[_HALO : _HALO + tile, _HALO : _HALO + w]
+    rr = rr_v[_HALO : _HALO + tile, _HALO : _HALO + w]
+    ri = ri_v[_HALO : _HALO + tile, _HALO : _HALO + w]
     pair = (rr * nc + ri * ns) / mag
     pair = jnp.where(jnp.isnan(pair), 0.0, pair)
     out_ref[:, :] = lp * jnp.cos(mag2) - pair * jnp.sin(mag2)
@@ -105,15 +106,8 @@ def _run(scalars, amp_p, cc_p, cs_p, lp_p, rr_p, ri_p, interpret: bool = False):
         in_specs=[pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=pl.BlockSpec((tile, w), lambda i: (i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((tile + 2 * _HALO, wp), jnp.float32),
-            pltpu.VMEM((tile + 2 * _HALO, wp), jnp.float32),
-            pltpu.VMEM((tile + 2 * _HALO, wp), jnp.float32),
-            pltpu.VMEM((tile, wp), jnp.float32),
-            pltpu.VMEM((tile, wp), jnp.float32),
-            pltpu.VMEM((tile, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
-        ],
+        scratch_shapes=[pltpu.VMEM((_STRIP, wp), jnp.float32)] * 6
+        + [pltpu.SemaphoreType.DMA((6,))],
     )
     return pl.pallas_call(
         kernel,
@@ -142,7 +136,8 @@ def riesz_amplify_fused(
 
     def prep(x):
         p = jnp.pad(x, ((_HALO, _HALO), (_HALO, _HALO)), mode="reflect")
-        return jnp.pad(p, ((0, h_pad - h), (0, 0)), mode="edge")
+        slack = (h_pad - h) + (_STRIP - (_TILE + 2 * _HALO))
+        return jnp.pad(p, ((0, slack), (0, 0)), mode="edge")
 
     scalars = jnp.stack([jnp.asarray(alpha, jnp.float32),
                          jnp.asarray(threshold, jnp.float32)]).reshape(1, 2)

@@ -32,6 +32,9 @@ from live_video_magnification_tpu.ops.kernels import (
 
 _HALO = 6   # 4 (9x9) + 2 (band apron)
 _TILE = 64  # output rows per grid step (even, for 2x row decimation)
+# DMA strip height must be sublane-aligned (Mosaic: multiples of 8); the strip
+# carries tile + 2*HALO = 76 useful rows, rounded up to 80 with slack rows.
+_STRIP = -(-(_TILE + 2 * _HALO) // 8) * 8
 MIN_FUSED_DIM = 16  # below this, reflect-101 haloing can't pad; use the jnp ops
 
 
@@ -54,7 +57,7 @@ def _stencil_9x9(src, k: np.ndarray, rows: int, cols: int, r0: int, c0: int):
 def _kernel(p_hbm, hp_ref, r_ref, i_ref, sub_ref, oct_vmem, sem, *, tile: int, w: int):
     ti = pl.program_id(0)
     copy = pltpu.make_async_copy(
-        p_hbm.at[pl.ds(ti * tile, tile + 2 * _HALO), :], oct_vmem, sem
+        p_hbm.at[pl.ds(ti * tile, _STRIP), :], oct_vmem, sem
     )
     copy.start()
     copy.wait()
@@ -113,7 +116,7 @@ def _run(padded: jnp.ndarray, interpret: bool = False):
             pl.BlockSpec((tile, w_pad), lambda i: (i, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * _HALO, wp_pad), jnp.float32),
+            pltpu.VMEM((_STRIP, wp_pad), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -138,8 +141,8 @@ def riesz_build_level_fused(
     w_pad = w + (w % 2)             # even width so column decimation tiles evenly
     # reflect-101 halo; extra bottom/right padding (edge mode) only covers crop waste
     padded = jnp.pad(octave, ((_HALO, _HALO), (_HALO, _HALO)), mode="reflect")
-    padded = jnp.pad(
-        padded, ((0, h_pad - h), (0, w_pad - w)), mode="edge"
-    )
+    # bottom slack: crop waste + the DMA strip alignment overhang
+    slack = (h_pad - h) + (_STRIP - (_TILE + 2 * _HALO))
+    padded = jnp.pad(padded, ((0, slack), (0, w_pad - w)), mode="edge")
     hp, r, i, lp_full = _run(padded, interpret=interpret)
     return hp[:h, :w], r[:h, :w], i[:h, :w], lp_full[:h:2, :w:2]
