@@ -92,10 +92,12 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, lp_hbm, rr_hbm, ri_hbm, out_ref,
     out_ref[:, :] = lp * jnp.cos(mag2) - pair * jnp.sin(mag2)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(scalars, amp_p, cc_p, cs_p, lp_p, rr_p, ri_p, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("w_out", "interpret"))
+def _run(scalars, amp_p, cc_p, cs_p, lp_p, rr_p, ri_p, w_out: int,
+         interpret: bool = False):
     hp, wp = amp_p.shape
-    h, w = hp - 2 * _HALO, wp - 2 * _HALO
+    h = hp - 2 * _HALO - (_STRIP - (_TILE + 2 * _HALO))
+    w = w_out
     tile = _TILE
     n_tiles = h // tile
 
@@ -134,13 +136,15 @@ def riesz_amplify_fused(
     assert min(h, w) >= MIN_FUSED_DIM
     h_pad = -(-h // _TILE) * _TILE
 
+    wp_aligned = -(-(w + 2 * _HALO) // 128) * 128
+
     def prep(x):
         p = jnp.pad(x, ((_HALO, _HALO), (_HALO, _HALO)), mode="reflect")
         slack = (h_pad - h) + (_STRIP - (_TILE + 2 * _HALO))
-        return jnp.pad(p, ((0, slack), (0, 0)), mode="edge")
+        return jnp.pad(p, ((0, slack), (0, wp_aligned - (w + 2 * _HALO))), mode="edge")
 
     scalars = jnp.stack([jnp.asarray(alpha, jnp.float32),
                          jnp.asarray(threshold, jnp.float32)]).reshape(1, 2)
     out = _run(scalars, prep(amplitude), prep(change_c), prep(change_s),
-               prep(lowpass), prep(riesz_r), prep(riesz_i), interpret=interpret)
+               prep(lowpass), prep(riesz_r), prep(riesz_i), w, interpret=interpret)
     return out[:h, :w]

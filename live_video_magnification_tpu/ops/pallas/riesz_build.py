@@ -91,10 +91,11 @@ def _kernel(p_hbm, hp_ref, r_ref, i_ref, sub_ref, oct_vmem, sem, *, tile: int, w
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(padded: jnp.ndarray, interpret: bool = False):
-    hp_pad, wp_pad = padded.shape  # (H_pad + 12, W_pad + 12)
-    h_pad, w_pad = hp_pad - 2 * _HALO, wp_pad - 2 * _HALO
+@functools.partial(jax.jit, static_argnames=("w_out", "interpret"))
+def _run(padded: jnp.ndarray, w_out: int, interpret: bool = False):
+    hp_pad, wp_pad = padded.shape  # (H_pad + alignment slack, 128-aligned width)
+    h_pad = hp_pad - 2 * _HALO - (_STRIP - (_TILE + 2 * _HALO))
+    w_pad = w_out
     tile = _TILE
     n_tiles = h_pad // tile
 
@@ -139,10 +140,14 @@ def riesz_build_level_fused(
     assert min(h, w) >= MIN_FUSED_DIM, "use ops/riesz.py for tiny levels"
     h_pad = -(-h // _TILE) * _TILE  # ceil to tile multiple
     w_pad = w + (w % 2)             # even width so column decimation tiles evenly
+    # DMA'd strips must be lane-aligned: round the padded width up to 128.
+    wp_aligned = -(-(w_pad + 2 * _HALO) // 128) * 128
     # reflect-101 halo; extra bottom/right padding (edge mode) only covers crop waste
     padded = jnp.pad(octave, ((_HALO, _HALO), (_HALO, _HALO)), mode="reflect")
     # bottom slack: crop waste + the DMA strip alignment overhang
     slack = (h_pad - h) + (_STRIP - (_TILE + 2 * _HALO))
-    padded = jnp.pad(padded, ((0, slack), (0, w_pad - w)), mode="edge")
-    hp, r, i, lp_full = _run(padded, interpret=interpret)
+    padded = jnp.pad(
+        padded, ((0, slack), (0, wp_aligned - (w + 2 * _HALO))), mode="edge"
+    )
+    hp, r, i, lp_full = _run(padded, w_pad, interpret=interpret)
     return hp[:h, :w], r[:h, :w], i[:h, :w], lp_full[:h:2, :w:2]
