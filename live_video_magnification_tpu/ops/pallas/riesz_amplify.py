@@ -10,15 +10,16 @@ The per-level tail of the phase pipeline (RieszPyramid.cpp:114-144):
     out  = lowpass * cos(mag2) - pair * sin(mag2)
 
 Unfused this materializes ~8 full-resolution intermediates; the kernel runs the
-three separable 13-tap blurs and all the element-wise math on one VMEM-resident
-strip (halo 6) and writes only the amplified lowpass. Inputs are reflect-101
-pre-padded host-side so the kernel needs no boundary conditionals.
+three separable 13-tap blurs and all the element-wise math on VMEM-resident
+strips (halo 6) and writes only the amplified lowpass. Inputs are reflect-101
+pre-padded host-side; DMA strips are (8, 128)-aligned and blur accumulation
+goes through scratch refs to stay inside the scoped-vmem budget (see
+riesz_build.py for the Mosaic constraints).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 import jax
@@ -30,44 +31,43 @@ from live_video_magnification_tpu.ops.kernels import AMPLITUDE_BLUR_KERNEL_1D
 
 _HALO = 6
 _TILE = 32
-# DMA strips are sublane-aligned (multiples of 8 rows): one strip height for all
-# six inputs, starting at the tile origin; blur math uses rows [0, tile+12),
-# pointwise math rows [HALO, HALO+tile).
-_STRIP = -(-(_TILE + 2 * _HALO) // 8) * 8
+_STRIP = -(-(_TILE + 2 * _HALO) // 8) * 8  # sublane-aligned DMA strip height
 MIN_FUSED_DIM = 16
 
+_TAPS = [float(v) for v in AMPLITUDE_BLUR_KERNEL_1D]
 
-def _blur13(strip, rows: int, cols: int, r0: int, c0: int):
-    """Separable 13-tap Gaussian on a VMEM strip: out[y, x] corresponds to
-    strip[r0 + y, c0 + x]; needs +-6 valid context around that window."""
-    taps = [float(v) for v in AMPLITUDE_BLUR_KERNEL_1D]
-    rowpass = None
-    for k, w in enumerate(taps):
-        term = strip[r0 - 6 : r0 + rows + 6, c0 - 6 + k : c0 - 6 + k + cols] * w
-        rowpass = term if rowpass is None else rowpass + term
-    out = None
-    for k, w in enumerate(taps):
-        term = rowpass[k : k + rows, :] * w
-        out = term if out is None else out + term
-    return out
+
+def _blur13_into(dst_ref, rp_ref, src, rows: int, cols: int) -> None:
+    """Separable 13-tap Gaussian: dst_ref[:rows, :cols] = gauss13(src), where
+    output (y, x) corresponds to src[y + 6, x + 6] (src carries a 6-px halo).
+    rp_ref holds the row pass; accumulation streams tap-by-tap through the refs
+    so at most one term is live at a time."""
+    for k, w in enumerate(_TAPS):
+        term = src[0 : rows + 12, k : k + cols] * w
+        if k == 0:
+            rp_ref[0 : rows + 12, 0:cols] = term
+        else:
+            rp_ref[0 : rows + 12, 0:cols] = rp_ref[0 : rows + 12, 0:cols] + term
+    for k, w in enumerate(_TAPS):
+        term = rp_ref[k : k + rows, 0:cols] * w
+        if k == 0:
+            dst_ref[0:rows, 0:cols] = term
+        else:
+            dst_ref[0:rows, 0:cols] = dst_ref[0:rows, 0:cols] + term
 
 
 def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, lp_hbm, rr_hbm, ri_hbm, out_ref,
-            amp_v, cc_v, cs_v, lp_v, rr_v, ri_v, sems, *, tile: int, w: int):
+            amp_v, cc_v, cs_v, lp_v, rr_v, ri_v, rp_s, ab_s, nc_s, ns_s, sems,
+            *, tile: int, w: int):
     ti = pl.program_id(0)
     alpha = scalars[0, 0]
     threshold = scalars[0, 1]
 
-    strips = [
-        (amp_hbm, amp_v),
-        (cc_hbm, cc_v),
-        (cs_hbm, cs_v),
-        (lp_hbm, lp_v),
-        (rr_hbm, rr_v),
-        (ri_hbm, ri_v),
-    ]
     copies = []
-    for k, (src, dst) in enumerate(strips):
+    for k, (src, dst) in enumerate(
+        [(amp_hbm, amp_v), (cc_hbm, cc_v), (cs_hbm, cs_v),
+         (lp_hbm, lp_v), (rr_hbm, rr_v), (ri_hbm, ri_v)]
+    ):
         cp = pltpu.make_async_copy(src.at[pl.ds(ti * tile, _STRIP), :], dst, sems.at[k])
         cp.start()
         copies.append(cp)
@@ -75,12 +75,14 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, lp_hbm, rr_hbm, ri_hbm, out_ref,
         cp.wait()
 
     amp = amp_v[:, :]
-    cc = cc_v[:, :]
-    cs = cs_v[:, :]
 
-    ab = _blur13(amp, tile, w, _HALO, _HALO)
-    nc = _blur13(cc * amp, tile, w, _HALO, _HALO) / ab
-    ns = _blur13(cs * amp, tile, w, _HALO, _HALO) / ab
+    _blur13_into(ab_s, rp_s, amp, tile, w)
+    _blur13_into(nc_s, rp_s, cc_v[:, :] * amp, tile, w)
+    _blur13_into(ns_s, rp_s, cs_v[:, :] * amp, tile, w)
+
+    ab = ab_s[:, :]
+    nc = nc_s[:, :] / ab
+    ns = ns_s[:, :] / ab
 
     mag = jnp.sqrt(nc * nc + ns * ns)
     mag2 = jnp.minimum(mag * alpha, threshold)  # cv::THRESH_TRUNC
@@ -95,7 +97,7 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, lp_hbm, rr_hbm, ri_hbm, out_ref,
 @functools.partial(jax.jit, static_argnames=("w_out", "interpret"))
 def _run(scalars, amp_p, cc_p, cs_p, lp_p, rr_p, ri_p, w_out: int,
          interpret: bool = False):
-    hp, wp = amp_p.shape
+    hp, wp_aligned = amp_p.shape
     h = hp - 2 * _HALO - (_STRIP - (_TILE + 2 * _HALO))
     w = w_out
     tile = _TILE
@@ -108,8 +110,14 @@ def _run(scalars, amp_p, cc_p, cs_p, lp_p, rr_p, ri_p, w_out: int,
         in_specs=[pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=pl.BlockSpec((tile, w), lambda i: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((_STRIP, wp), jnp.float32)] * 6
-        + [pltpu.SemaphoreType.DMA((6,))],
+        scratch_shapes=[pltpu.VMEM((_STRIP, wp_aligned), jnp.float32)] * 6
+        + [
+            pltpu.VMEM((_STRIP, w), jnp.float32),   # row-pass scratch
+            pltpu.VMEM((tile, w), jnp.float32),     # blurred amplitude
+            pltpu.VMEM((tile, w), jnp.float32),     # blurred weighted cos
+            pltpu.VMEM((tile, w), jnp.float32),     # blurred weighted sin
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
     )
     return pl.pallas_call(
         kernel,
@@ -135,7 +143,6 @@ def riesz_amplify_fused(
     h, w = amplitude.shape
     assert min(h, w) >= MIN_FUSED_DIM
     h_pad = -(-h // _TILE) * _TILE
-
     wp_aligned = -(-(w + 2 * _HALO) // 128) * 128
 
     def prep(x):
