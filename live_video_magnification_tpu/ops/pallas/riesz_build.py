@@ -37,7 +37,7 @@ from live_video_magnification_tpu.ops.kernels import (
 )
 
 _HALO = 6   # 4 (9x9) + 2 (band apron)
-_TILE = 64  # output rows per grid step
+_TILE = 32  # output rows per grid step (kept small: 4 full-width output blocks + stencil temps must fit scoped vmem at 4K)
 _STRIP = -(-(_TILE + 2 * _HALO) // 8) * 8  # sublane-aligned DMA strip height
 MIN_FUSED_DIM = 16  # below this, reflect-101 haloing can't pad; use the jnp ops
 
