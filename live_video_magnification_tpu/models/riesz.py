@@ -95,11 +95,12 @@ def step(
     dyn: RieszDynParams,
     *,
     levels: int,
+    use_pallas: bool | None = None,
 ) -> Tuple[RieszState, jnp.ndarray]:
     lab = bgr_to_lab(u8_to_unit_f32(frame_u8))
     luma = lab[0]
 
-    cur = build_riesz_pyramid(luma, levels)
+    cur = build_riesz_pyramid(luma, levels, use_pallas=use_pallas)
 
     first = state.count == 0
     rebuild_old = first | dyn.reset_filters | dyn.force_init
@@ -130,7 +131,9 @@ def step(
     lowpasses: List[jnp.ndarray] = []
     for lvl in range(levels - 1):
         lh, lw = cur[lvl].lowpass.shape[-2], cur[lvl].lowpass.shape[-1]
-        fused_tail = cur[lvl].lowpass.ndim == 2 and _use_fused_build(lh, lw)
+        fused_tail = cur[lvl].lowpass.ndim == 2 and min(lh, lw) >= 16 and (
+            use_pallas if use_pallas is not None else _use_fused_build(lh, lw)
+        )
         pr = phase_difference_and_amplitude(
             cur[lvl], old[lvl], compute_blur=not fused_tail
         )

@@ -82,13 +82,20 @@ def _use_fused_build(h: int, w: int) -> bool:
     return jax.default_backend() != "cpu"
 
 
-def build_riesz_pyramid(frame: jnp.ndarray, levels: int) -> List[RieszLevel]:
-    """buildPyramid (:215-238): levels-1 band levels + untouched final octave."""
+def build_riesz_pyramid(
+    frame: jnp.ndarray, levels: int, use_pallas: bool | None = None
+) -> List[RieszLevel]:
+    """buildPyramid (:215-238): levels-1 band levels + untouched final octave.
+
+    use_pallas: None = auto (TPU backends, large-enough levels); False forces
+    the plain jnp ops (required under GSPMD sharding, where a pallas_call is
+    not partitionable)."""
     pyr = []
     octave = frame
     for _ in range(levels - 1):
         h, w = octave.shape[-2], octave.shape[-1]
-        if octave.ndim == 2 and _use_fused_build(h, w):
+        fused_ok = use_pallas if use_pallas is not None else _use_fused_build(h, w)
+        if octave.ndim == 2 and fused_ok and min(h, w) >= 16:
             from live_video_magnification_tpu.ops.pallas.riesz_build import (
                 riesz_build_level_fused,
             )

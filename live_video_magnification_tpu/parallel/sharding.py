@@ -87,7 +87,9 @@ def build_sharded_step(
         single = partial(color_mode.step, levels=levels, framerate=framerate)
         init = lambda: color_mode.init_state(h, w, channels, levels, framerate)
     elif mode is MagnificationMode.PHASE:
-        single = partial(riesz_mode.step, levels=levels)
+        # Pallas kernels are opaque to the SPMD partitioner; the sharded path
+        # uses the jnp ops, whose stencils XLA partitions with halo exchange.
+        single = partial(riesz_mode.step, levels=levels, use_pallas=False)
         init = lambda: riesz_mode.init_state(h, w, levels)
     else:
         raise ValueError(f"no sharded step for mode {mode}")
