@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from live_video_magnification_tpu.ops.kernels import AMPLITUDE_BLUR_KERNEL_1D
 
 _HALO = 6
-_TILE = 32
+_TILE = 16  # small tile: six full-width input strips must fit scoped vmem at 4K
 _STRIP = -(-(_TILE + 2 * _HALO) // 8) * 8  # sublane-aligned DMA strip height
 MIN_FUSED_DIM = 16
 
