@@ -170,7 +170,7 @@ def step(
             )
     lowpasses.append(cur[levels - 1].lowpass)  # untouched residual octave
 
-    magnified = collapse_riesz_pyramid(lowpasses)
+    magnified = collapse_riesz_pyramid(lowpasses, use_pallas=use_pallas)
 
     merged = jnp.stack([magnified, lab[1], lab[2]])
     out_u8 = to_u8(lab_to_bgr(merged), 255.0, 1.0 / 255.0)

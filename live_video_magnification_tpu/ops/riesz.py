@@ -197,14 +197,49 @@ def amplify_level(
     return level.lowpass * cos_rot - pair * sin_rot
 
 
-def collapse_riesz_pyramid(lowpasses: List[jnp.ndarray]) -> jnp.ndarray:
+def _use_mxu(h: int, w: int) -> bool:
+    """MXU banded-matmul stencils: on for TPU-class backends at large levels;
+    same LVMT_PALLAS override as _use_fused_build."""
+    from live_video_magnification_tpu.ops.pallas.conv9_mxu import MIN_MXU_DIM
+
+    flag = os.environ.get("LVMT_PALLAS", "auto")
+    if min(h, w) < MIN_MXU_DIM or flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() != "cpu"
+
+
+def collapse_riesz_pyramid(
+    lowpasses: List[jnp.ndarray], use_pallas: bool | None = None
+) -> jnp.ndarray:
     """collapsePyramid (:304-325): zero-injected 2*low-pass upsample + high-pass
-    of each finer octave, coarsest first."""
+    of each finer octave, coarsest first.
+
+    use_pallas: None = auto (MXU banded-matmul stencils on TPU backends for
+    large even-dim levels); False forces plain jnp (GSPMD-sharded path)."""
     result = lowpasses[-1]
     for lvl in range(len(lowpasses) - 2, -1, -1):
         octave = lowpasses[lvl]
-        up_zero = resize_nearest_even_inject(result, (octave.shape[-2], octave.shape[-1]))
-        lp = correlate2d(up_zero, 2.0 * RIESZ_LOWPASS_9x9)
-        hp = correlate2d(octave, RIESZ_HIGHPASS_9x9)
+        h, w = octave.shape[-2], octave.shape[-1]
+        mxu_ok = (
+            octave.ndim == 2
+            and h % 2 == 0
+            and w % 2 == 0
+            and (h, w) == (2 * result.shape[-2], 2 * result.shape[-1])
+            and (use_pallas if use_pallas is not None else _use_mxu(h, w))
+        )
+        if mxu_ok:
+            from live_video_magnification_tpu.ops.pallas.conv9_mxu import (
+                conv9_mxu,
+                lp9_inject_mxu,
+            )
+
+            lp = lp9_inject_mxu(result, 2.0 * RIESZ_LOWPASS_9x9, (h, w))
+            hp = conv9_mxu(octave, RIESZ_HIGHPASS_9x9)
+        else:
+            up_zero = resize_nearest_even_inject(result, (h, w))
+            lp = correlate2d(up_zero, 2.0 * RIESZ_LOWPASS_9x9)
+            hp = correlate2d(octave, RIESZ_HIGHPASS_9x9)
         result = lp + hp
     return result

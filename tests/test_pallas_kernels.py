@@ -36,6 +36,49 @@ def test_riesz_build_level_fused_matches_ops(h, w):
     np.testing.assert_allclose(np.asarray(sub), np.asarray(lp_ref), atol=3e-4)
 
 
+@pytest.mark.parametrize("h,w", [(128, 128), (130, 250), (96, 200)])
+def test_conv9_mxu_matches_correlate2d(h, w):
+    from live_video_magnification_tpu.ops.pallas.conv9_mxu import conv9_mxu
+
+    x = jnp.asarray(RNG.random((h, w)).astype(np.float32) * 10.0 - 5.0)
+    ref = correlate2d(x, RIESZ_HIGHPASS_9x9)
+    got = conv9_mxu(x, RIESZ_HIGHPASS_9x9, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+@pytest.mark.parametrize("h,w", [(128, 128), (130, 250), (96, 200)])
+def test_lp9_inject_mxu_matches_zero_inject_conv(h, w):
+    from live_video_magnification_tpu.ops.pallas.conv9_mxu import lp9_inject_mxu
+    from live_video_magnification_tpu.ops.resize import resize_nearest_even_inject
+
+    sh, sw = h // 2, w // 2
+    s = jnp.asarray(RNG.random((sh, sw)).astype(np.float32) * 10.0 - 5.0)
+    z = resize_nearest_even_inject(s, (2 * sh, 2 * sw))
+    ref = correlate2d(z, 2.0 * RIESZ_LOWPASS_9x9)
+    got = lp9_inject_mxu(s, 2.0 * RIESZ_LOWPASS_9x9, (2 * sh, 2 * sw), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_collapse_mxu_path_matches_jnp():
+    from live_video_magnification_tpu.ops.riesz import collapse_riesz_pyramid
+
+    lows = [
+        jnp.asarray(RNG.random(s).astype(np.float32)) for s in [(128, 256), (64, 128), (32, 64)]
+    ]
+    import live_video_magnification_tpu.ops.pallas.conv9_mxu as c9
+
+    ref = collapse_riesz_pyramid(lows, use_pallas=False)
+    # Force the MXU path in interpreter mode by monkeypatch-free call: the
+    # public entry points accept interpret, so exercise them directly per level.
+    hp = c9.conv9_mxu(lows[1], RIESZ_HIGHPASS_9x9, interpret=True)
+    lp = c9.lp9_inject_mxu(lows[2], 2.0 * RIESZ_LOWPASS_9x9, (64, 128), interpret=True)
+    mid = hp + lp
+    hp0 = c9.conv9_mxu(lows[0], RIESZ_HIGHPASS_9x9, interpret=True)
+    lp0 = c9.lp9_inject_mxu(mid, 2.0 * RIESZ_LOWPASS_9x9, (128, 256), interpret=True)
+    got = hp0 + lp0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
 @pytest.mark.parametrize("h,w", [(64, 128), (50, 70), (33, 257)])
 def test_riesz_amplify_fused_matches_ops(h, w):
     from live_video_magnification_tpu.ops.pallas.riesz_amplify import riesz_amplify_fused
