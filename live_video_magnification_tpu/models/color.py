@@ -130,3 +130,62 @@ def process_clip(
         return step(st, frame, dyn, levels=levels, framerate=framerate)
 
     return jax.lax.scan(body, state, frames_u8)
+
+
+def process_clip_parallel(
+    frames_u8: jnp.ndarray,  # [T, C, H, W] uint8
+    dyn: ColorDynParams,
+    *,
+    levels: int,
+    framerate: float,
+) -> jnp.ndarray:
+    """Time-parallel batch export of color mode (SURVEY.md §5 sequence parallelism).
+
+    Every frame's output depends on the rolling window of the last
+    min(t+1, N) pyramid-top frames (MagnifyCore.hpp:163-206). Batched form:
+    build all pyramid tops with vmap, gather each frame's window directly from
+    the [T, ...] sequence (a sliding-window gather instead of the sequential
+    roll+write), and vmap the circulant-matmul bandpass + normalize +
+    reconstruct + output rescale over T. No sequential dependency remains, so
+    the T axis shards cleanly across a mesh (the window gather becomes a halo
+    read of at most N-1 neighbor frames).
+
+    Cold start only (empty window before frame 0) — matches process_clip from
+    a fresh init_state. Returns [T, C, H, W] u8.
+    """
+    t_total, channels, h, w = frames_u8.shape
+    n_win = window_size(framerate)
+
+    inputs = frames_u8.astype(jnp.float32)  # convertTo(CV_32F): stays in [0,255]
+    smalls = jax.vmap(lambda im: build_gauss_pyr(im, levels)[levels - 1])(inputs)
+    flat = smalls.reshape(t_total, -1)  # [T, P]
+
+    ts = jnp.arange(t_total)
+    lengths = jnp.minimum(ts + 1, n_win)                     # active columns
+    base = jnp.maximum(ts + 1 - n_win, 0)                    # oldest frame index
+    # window row j of frame t = flat[base[t] + j], rows >= L are don't-care
+    # (masked inside ideal_bandpass_apply); clamp the gather index.
+    idx = jnp.minimum(base[:, None] + jnp.arange(n_win)[None, :], t_total - 1)
+    windows = flat[idx]                                      # [T, N, P]
+
+    def per_frame(window_fp, length, inp, raw_u8):
+        filtered = ideal_bandpass_apply(
+            window_fp, length, dyn.co_low, dyn.co_high, framerate
+        )
+        row_valid = (jnp.arange(n_win) < length)[:, None]
+        big = jnp.asarray(jnp.finfo(jnp.float32).max)
+        mn = jnp.min(jnp.where(row_valid, filtered, big))
+        mx = jnp.max(jnp.where(row_valid, filtered, -big))
+        filtered = (filtered - mn) / (mx - mn)
+        filtered = filtered * dyn.amplification.astype(jnp.float32)
+        col = jnp.minimum(1, length - 1)
+        small_f = jax.lax.dynamic_index_in_dim(filtered, col, 0, keepdims=False)
+        small_f = small_f.reshape(smalls.shape[1:])
+        color_img = reconstruct_from_gauss_level(small_f, levels, (h, w))
+        output = inp + color_img
+        omn = jnp.min(output)
+        omx = jnp.max(output)
+        out_u8 = to_u8(output, 255.0 / (omx - omn), -omn * 255.0 / (omx - omn))
+        return jnp.where(length < 2, raw_u8, out_u8)
+
+    return jax.vmap(per_frame)(windows, lengths, inputs, frames_u8)

@@ -201,3 +201,78 @@ def process_clip(
         return step(st, frame, dyn, levels=levels)
 
     return jax.lax.scan(body, state, frames_u8)
+
+
+def process_clip_parallel(
+    frames_u8: jnp.ndarray,  # [T, 3, H, W] uint8
+    dyn: RieszDynParams,
+    *,
+    levels: int,
+) -> jnp.ndarray:
+    """Time-parallel batch export of phase mode (SURVEY.md §5 sequence parallelism).
+
+    Every per-frame stage (Lab, pyramid build, phase difference vs the previous
+    frame, normalize/amplify, collapse) is batched over T with vmap; the only
+    truly sequential parts — the quaternionic phase accumulation
+    (TemporalFilter.cpp:340-351's `itsPhase += phaseDiff`) and the lo/hi
+    Butterworth DF-II registers — become a cumsum and an associative affine
+    scan (`df2_filter_parallel`), both O(log T) depth. Under a mesh with the T
+    axis sharded this is the sequence-parallel export path: XLA splits the
+    scans into local scans plus shard-boundary combines over ICI.
+
+    Cold start only (state = first frame's pyramid, filters zeroed), static
+    cutoffs for the whole clip — the batch-export contract. `reset_filters` /
+    `force_init` mid-clip events are a streaming concern; use process_clip.
+
+    Returns [T, 3, H, W] u8, bit-comparable to process_clip's outputs.
+    """
+    from live_video_magnification_tpu.ops.temporal import df2_filter_parallel
+
+    t = frames_u8.shape[0]
+
+    def front(frame_u8):
+        lab = bgr_to_lab(u8_to_unit_f32(frame_u8))
+        pyr = build_riesz_pyramid(lab[0], levels, use_pallas=False)
+        return lab, tuple(pyr)
+
+    labs, pyrs = jax.vmap(front)(frames_u8)  # leaves [T, lh, lw]
+
+    def df2_pair(phase: CompExp, b, a) -> CompExp:
+        yc, _, _ = df2_filter_parallel(phase.cos, b, a)
+        ys, _, _ = df2_filter_parallel(phase.sin, b, a)
+        return CompExp(yc, ys)
+
+    lowpasses: List[jnp.ndarray] = []
+    for lvl in range(levels - 1):
+        cur = pyrs[lvl]
+        # prior[t] = cur[t-1]; prior[0] = cur[0] (first-frame "rebuild_old").
+        prior = jax.tree.map(
+            lambda x: jnp.concatenate([x[:1], x[:-1]], axis=0), cur
+        )
+        pr = jax.vmap(phase_difference_and_amplitude)(cur, prior)
+        # Phase unwrap state: accumulated quaternionic phase differences.
+        phase = CompExp(
+            jnp.cumsum(pr.phase_diff.cos, axis=0),
+            jnp.cumsum(pr.phase_diff.sin, axis=0),
+        )
+        lo_res = df2_pair(phase, dyn.b_lo, dyn.a_lo)
+        hi_res = df2_pair(phase, dyn.b_hi, dyn.a_hi)
+        normalized = jax.vmap(normalize_phase)(
+            hi_res, lo_res, pr.amplitude, pr.amplitude_blurred
+        )
+        lowpasses.append(
+            jax.vmap(
+                lambda c, n: amplify_level(c, n, dyn.amplification, dyn.threshold)
+            )(cur, normalized)
+        )
+    lowpasses.append(pyrs[levels - 1].lowpass)
+
+    magnified = jax.vmap(
+        lambda *lp: collapse_riesz_pyramid(list(lp), use_pallas=False)
+    )(*lowpasses)
+
+    merged = jnp.stack([magnified, labs[:, 1], labs[:, 2]], axis=1)
+    out_u8 = jax.vmap(lambda m: to_u8(lab_to_bgr(m), 255.0, 1.0 / 255.0))(merged)
+    # First frame (and force_init clips) pass the raw input through.
+    passthrough = jnp.zeros((t,), bool).at[0].set(True) | dyn.force_init
+    return jnp.where(passthrough[:, None, None, None], frames_u8, out_u8)

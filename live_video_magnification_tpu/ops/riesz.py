@@ -89,13 +89,39 @@ def build_riesz_pyramid(
 
     use_pallas: None = auto (TPU backends, large-enough levels); False forces
     the plain jnp ops (required under GSPMD sharding, where a pallas_call is
-    not partitionable)."""
+    not partitionable).
+
+    Kernel strategy per level (TPU): the 9x9 high-pass/low-pass stencils ride
+    the MXU as banded matmuls (conv9_mxu / lp9_decimate_mxu — decimation folded
+    into the band so the low-pass computes only the kept pixels) and the Riesz
+    1x5/5x1 band pair as a 5-band matmul (band5_mxu); levels too small for the
+    MXU tiles fall back to the fused VPU build kernel, then to plain jnp.
+    LVMT_BUILD=fused forces the VPU fused kernel (A/B lever)."""
     pyr = []
     octave = frame
     for _ in range(levels - 1):
         h, w = octave.shape[-2], octave.shape[-1]
         fused_ok = use_pallas if use_pallas is not None else _use_fused_build(h, w)
-        if octave.ndim == 2 and fused_ok and min(h, w) >= 16:
+        mxu_ok = (
+            octave.ndim == 2
+            and fused_ok
+            and (use_pallas is not None or _use_mxu(h, w))
+            and os.environ.get("LVMT_BUILD", "auto") != "fused"
+            and min(h, w) >= 96
+        )
+        if mxu_ok:
+            from live_video_magnification_tpu.ops.pallas.conv9_mxu import (
+                band5_mxu,
+                conv9_mxu,
+                lp9_decimate_mxu,
+            )
+
+            hp = conv9_mxu(octave, RIESZ_HIGHPASS_9x9)
+            r, i = band5_mxu(hp, RIESZ_BAND_KERNEL)
+            sub = lp9_decimate_mxu(octave, 2.0 * RIESZ_LOWPASS_9x9)
+            pyr.append(RieszLevel(lowpass=hp, riesz=CompExp(r, i)))
+            octave = sub
+        elif octave.ndim == 2 and fused_ok and min(h, w) >= 16:
             from live_video_magnification_tpu.ops.pallas.riesz_build import (
                 riesz_build_level_fused,
             )

@@ -196,3 +196,68 @@ def riesz_df2_step(phase_acc: CompExp, reg0: CompExp, reg1: CompExp,
     new_reg0 = phase.scale(b[1]) + reg1 - result.scale(a[1])
     new_reg1 = phase.scale(b[2]) - result.scale(a[2])
     return result, phase, new_reg0, new_reg1
+
+
+def df2_filter_parallel(xs: jnp.ndarray, b, a, reg0_init=None, reg1_init=None):
+    """Whole-sequence DF-II filter as an associative scan (time-parallel form).
+
+    Computes the same outputs as iterating `riesz_df2_step`'s filter over the
+    time axis (reference TemporalFilter.cpp:340-351 minus the phase
+    accumulation, which callers handle with a cumsum): the DF-II register
+    recurrence
+
+        reg0[t] = (b1 - a1*b0)*x[t] - a1*reg0[t-1] + reg1[t-1]
+        reg1[t] = (b2 - a2*b0)*x[t] - a2*reg0[t-1]
+        y[t]    =  b0*x[t] + reg0[t-1]
+
+    is affine in the register pair, so the clip filters in O(log T) depth via
+    lax.associative_scan — the sequence-parallel (SP) formulation: under a mesh
+    with the T axis sharded, XLA partitions the scan into local scans plus
+    boundary combines over ICI (SURVEY.md §5 "Long-context / sequence
+    parallelism").
+
+    xs: [T, ...]; b, a: [3] coefficient arrays (a[0] == 1, traced OK).
+    reg0_init/reg1_init: optional initial registers (broadcastable to xs[0]),
+    for chunked continuation. Returns (y [T, ...], reg0 [T,...], reg1 [T,...]).
+    """
+    t = xs.shape[0]
+    bcast = (t,) + (1,) * (xs.ndim - 1)
+    c1 = (b[1] - a[1] * b[0]) * xs
+    c2 = (b[2] - a[2] * b[0]) * xs
+    if reg0_init is not None:
+        # Fold the initial state into the t=0 offset: s[0] = A s_init + c[0].
+        c1 = c1.at[0].add(-a[1] * reg0_init + reg1_init)
+        c2 = c2.at[0].add(-a[2] * reg0_init)
+    ones = jnp.ones(bcast, xs.dtype)
+    m = (-a[1] * ones, ones, -a[2] * ones, jnp.zeros(bcast, xs.dtype))
+    if reg0_init is not None:
+        # t=0 transition already applied to the init: make it the identity so
+        # the scan composes A exactly once per step.
+        ident = (
+            jnp.concatenate([jnp.ones((1,) + bcast[1:], xs.dtype), m[0][1:]]),
+            jnp.concatenate([jnp.zeros((1,) + bcast[1:], xs.dtype), m[1][1:]]),
+            jnp.concatenate([jnp.zeros((1,) + bcast[1:], xs.dtype), m[2][1:]]),
+            jnp.concatenate([jnp.ones((1,) + bcast[1:], xs.dtype), m[3][1:]]),
+        )
+        m = ident
+
+    def combine(lhs, rhs):
+        (l11, l12, l21, l22, lv1, lv2) = lhs
+        (r11, r12, r21, r22, rv1, rv2) = rhs
+        return (
+            r11 * l11 + r12 * l21,
+            r11 * l12 + r12 * l22,
+            r21 * l11 + r22 * l21,
+            r21 * l12 + r22 * l22,
+            r11 * lv1 + r12 * lv2 + rv1,
+            r21 * lv1 + r22 * lv2 + rv2,
+        )
+
+    scanned = lax.associative_scan(combine, m + (c1, c2), axis=0)
+    reg0, reg1 = scanned[4], scanned[5]
+    prev0 = jnp.zeros_like(xs[:1]) if reg0_init is None else jnp.broadcast_to(
+        reg0_init, xs[:1].shape
+    ).astype(xs.dtype)
+    reg0_prev = jnp.concatenate([prev0, reg0[:-1]], axis=0)
+    y = b[0] * xs + reg0_prev
+    return y, reg0, reg1

@@ -108,3 +108,26 @@ def test_riesz_amplify_fused_matches_ops(h, w):
         alpha, threshold, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("h,w", [(128, 128), (130, 250), (96, 200), (135, 240)])
+def test_band5_mxu_matches_correlate_rows_cols(h, w):
+    from live_video_magnification_tpu.ops.pallas.conv9_mxu import band5_mxu
+
+    hp = jnp.asarray(RNG.random((h, w)).astype(np.float32) * 100.0 - 50.0)
+    r_ref = correlate_rows(hp, RIESZ_BAND_KERNEL)
+    i_ref = correlate_cols(hp, RIESZ_BAND_KERNEL)
+    r, i = band5_mxu(hp, RIESZ_BAND_KERNEL, interpret=True)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(i), np.asarray(i_ref), atol=3e-4)
+
+
+@pytest.mark.parametrize("h,w", [(128, 128), (130, 250), (97, 201), (135, 241)])
+def test_lp9_decimate_mxu_matches_conv_subsample(h, w):
+    from live_video_magnification_tpu.ops.pallas.conv9_mxu import lp9_decimate_mxu
+
+    x = jnp.asarray(RNG.random((h, w)).astype(np.float32) * 100.0)
+    ref = correlate2d(x, 2.0 * RIESZ_LOWPASS_9x9)[::2, ::2]
+    got = lp9_decimate_mxu(x, 2.0 * RIESZ_LOWPASS_9x9, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4)
