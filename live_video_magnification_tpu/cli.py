@@ -98,6 +98,7 @@ def cmd_magnify(args) -> int:
     for processed, _original in export_frames(
         tchw, cfg, chunk_size=args.chunk,
         checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
+        time_parallel=args.time_parallel,
     ):
         outs.append(np.moveaxis(processed, 1, -1))
         done = sum(o.shape[0] for o in outs)
@@ -190,6 +191,9 @@ def main(argv=None) -> int:
     p.add_argument("--chunk", type=int, default=32)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--time-parallel", action="store_true",
+                   help="sequence-parallel chunks (associative scans over T) "
+                        "instead of the sequential per-frame scan")
     _add_mag_args(p)
     p.set_defaults(fn=cmd_magnify)
 

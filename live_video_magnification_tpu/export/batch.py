@@ -19,14 +19,28 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from live_video_magnification_tpu.models.chain import MagnificationChain, _build_step
+from live_video_magnification_tpu.models.chain import (
+    MagnificationChain,
+    _build_pre_stages,
+    _build_step,
+    parallel_clip_fn,
+)
 from live_video_magnification_tpu.models.params import ProcessorConfig
 
 
 class ClipProcessor:
-    """Scan-based processor for [T, C, H, W] u8 chunks with carried state."""
+    """Processor for [T, C, H, W] u8 chunks with carried state.
 
-    def __init__(self, cfg: ProcessorConfig, h: int, w: int, channels: int):
+    time_parallel=False: lax.scan of the chain step (sequential over T).
+    time_parallel=True: the sequence-parallel whole-chunk path — stateless
+    stages vmapped over T, the mode's temporal recurrences as associative
+    scans / window gathers (models/*.process_clip_parallel), with the SAME
+    carried-state pytree so checkpoints and chunk boundaries are
+    interchangeable between the two paths.
+    """
+
+    def __init__(self, cfg: ProcessorConfig, h: int, w: int, channels: int,
+                 time_parallel: bool = False):
         self.cfg = cfg
         chain = MagnificationChain()
         self.key = chain.static_key(cfg, h, w, channels)
@@ -35,14 +49,29 @@ class ClipProcessor:
         self._dyn = chain._dyn_params(cfg, self.key)
         self.state = self._step.init_state()
         self.cursor = 0
-        raw_step = self._step.raw_fn
+        self.time_parallel = time_parallel
 
-        def chunk(state, frames, dyn):
-            def body(st, frame):
-                st2, processed, original = raw_step(st, frame, dyn)
-                return st2, (processed, original)
+        if time_parallel:
+            preprocess, gray_stage = _build_pre_stages(self.key)
+            par_fn = parallel_clip_fn(self.key)
 
-            return jax.lax.scan(body, state, frames)
+            def chunk(state, frames, dyn):
+                pre = jax.vmap(preprocess)(frames)
+                magin = jax.vmap(gray_stage)(pre)
+                if par_fn is None:
+                    return state, (magin, pre)
+                state, outs = par_fn(magin, dyn, state=state)
+                return state, (outs, pre)
+
+        else:
+            raw_step = self._step.raw_fn
+
+            def chunk(state, frames, dyn):
+                def body(st, frame):
+                    st2, processed, original = raw_step(st, frame, dyn)
+                    return st2, (processed, original)
+
+                return jax.lax.scan(body, state, frames)
 
         self._chunk = jax.jit(chunk, donate_argnums=(0,))
 
@@ -85,10 +114,11 @@ def export_frames(
     chunk_size: int = 32,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
+    time_parallel: bool = False,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Yield (processed, original) chunks for a [T, C, H, W] u8 clip."""
     t, c, h, w = frames_u8_tchw.shape
-    proc = ClipProcessor(cfg, h, w, c)
+    proc = ClipProcessor(cfg, h, w, c, time_parallel=time_parallel)
     start = 0
     if checkpoint_path and os.path.exists(checkpoint_path + ".npz"):
         start = proc.load_checkpoint(checkpoint_path)

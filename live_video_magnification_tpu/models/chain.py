@@ -87,9 +87,10 @@ class ChainStep(NamedTuple):
     key: _StaticKey
 
 
-def _build_step(key: _StaticKey) -> ChainStep:
+def _build_pre_stages(key: _StaticKey):
+    """The two stateless chain stages (crop/downscale + grayscale) for a key,
+    shared by the per-frame step and the time-parallel batch path."""
     y0, x0, ch_crop, cw_crop, oh, ow = key.geometry
-    mode, levels = key.mode, key.levels
 
     def preprocess(frame_u8):
         out = frame_u8
@@ -108,6 +109,14 @@ def _build_step(key: _StaticKey) -> ChainStep:
         if key.grayscale and key.in_channels >= 3:
             return bgr_to_gray_u8(frame_u8)
         return frame_u8
+
+    return preprocess, gray_stage
+
+
+def _build_step(key: _StaticKey) -> ChainStep:
+    oh, ow = key.geometry[4], key.geometry[5]
+    mode, levels = key.mode, key.levels
+    preprocess, gray_stage = _build_pre_stages(key)
 
     if mode is MagnificationMode.LAPLACE:
         model_step = partial(motion_mode.step, levels=levels)
@@ -144,6 +153,21 @@ def _build_step(key: _StaticKey) -> ChainStep:
 
     compiled = jax.jit(step_hwc, donate_argnums=(0,))
     return ChainStep(compiled, step, init, key)
+
+
+def parallel_clip_fn(key: _StaticKey):
+    """The mode's time-parallel whole-clip function for a static key, or None
+    for the identity path. Signature: fn(frames_tchw_u8, dyn, state=state) ->
+    (state, outs) — the sequence-parallel export path (SURVEY.md §5)."""
+    if key.mode is MagnificationMode.LAPLACE:
+        return partial(motion_mode.process_clip_parallel, levels=key.levels)
+    if key.mode is MagnificationMode.COLOR:
+        return partial(
+            color_mode.process_clip_parallel, levels=key.levels, framerate=key.framerate
+        )
+    if key.mode is MagnificationMode.PHASE and key.channels >= 3:
+        return partial(riesz_mode.process_clip_parallel, levels=key.levels)
+    return None
 
 
 class MagnificationChain:

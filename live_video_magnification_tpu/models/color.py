@@ -138,7 +138,8 @@ def process_clip_parallel(
     *,
     levels: int,
     framerate: float,
-) -> jnp.ndarray:
+    state: ColorState | None = None,
+) -> Tuple[ColorState, jnp.ndarray]:
     """Time-parallel batch export of color mode (SURVEY.md §5 sequence parallelism).
 
     Every frame's output depends on the rolling window of the last
@@ -150,23 +151,35 @@ def process_clip_parallel(
     the T axis shards cleanly across a mesh (the window gather becomes a halo
     read of at most N-1 neighbor frames).
 
-    Cold start only (empty window before frame 0) — matches process_clip from
-    a fresh init_state. Returns [T, C, H, W] u8.
+    `state` enables chunked continuation: the carried window's active rows are
+    prepended to the chunk's pyramid tops so every gather sees the same rolling
+    window the sequential path would. Returns (final_state, outs [T,C,H,W] u8)
+    like process_clip.
     """
     t_total, channels, h, w = frames_u8.shape
     n_win = window_size(framerate)
+    if state is None:
+        state = init_state(h, w, channels, levels, framerate)
 
     inputs = frames_u8.astype(jnp.float32)  # convertTo(CV_32F): stays in [0,255]
     smalls = jax.vmap(lambda im: build_gauss_pyr(im, levels)[levels - 1])(inputs)
     flat = smalls.reshape(t_total, -1)  # [T, P]
 
+    # Prepend the carried window (active rows 0..count-1, oldest first) so it
+    # ends exactly at index n_win of the combined sequence: rolling by
+    # n_win - count puts the newest carried frame at combined[n_win - 1].
+    count = jnp.minimum(state.count, n_win)  # active carried rows
+    carried = jnp.roll(state.window.reshape(n_win, -1), n_win - count, axis=0)
+    combined = jnp.concatenate([carried, flat], axis=0)      # [N + T, P]
+
     ts = jnp.arange(t_total)
-    lengths = jnp.minimum(ts + 1, n_win)                     # active columns
-    base = jnp.maximum(ts + 1 - n_win, 0)                    # oldest frame index
-    # window row j of frame t = flat[base[t] + j], rows >= L are don't-care
-    # (masked inside ideal_bandpass_apply); clamp the gather index.
-    idx = jnp.minimum(base[:, None] + jnp.arange(n_win)[None, :], t_total - 1)
-    windows = flat[idx]                                      # [T, N, P]
+    lengths = jnp.minimum(count + ts + 1, n_win)             # active columns
+    # window row j of frame t (oldest first) = combined[end_t - L_t + j] with
+    # end_t = n_win + t + 1; rows >= L are don't-care (masked inside
+    # ideal_bandpass_apply); clamp the gather index.
+    base = n_win + ts + 1 - lengths
+    idx = jnp.minimum(base[:, None] + jnp.arange(n_win)[None, :], n_win + t_total - 1)
+    windows = combined[idx]                                  # [T, N, P]
 
     def per_frame(window_fp, length, inp, raw_u8):
         filtered = ideal_bandpass_apply(
@@ -188,4 +201,13 @@ def process_clip_parallel(
         out_u8 = to_u8(output, 255.0 / (omx - omn), -omn * 255.0 / (omx - omn))
         return jnp.where(length < 2, raw_u8, out_u8)
 
-    return jax.vmap(per_frame)(windows, lengths, inputs, frames_u8)
+    outs = jax.vmap(per_frame)(windows, lengths, inputs, frames_u8)
+
+    # Final window: the last min(count + T, N) combined rows, oldest first at
+    # rows 0..L-1 (the sequential layout), remaining rows zeroed.
+    l_final = jnp.minimum(count + t_total, n_win)
+    fidx = jnp.minimum(n_win + t_total - l_final + jnp.arange(n_win), n_win + t_total - 1)
+    final_rows = combined[fidx]
+    final_rows = jnp.where((jnp.arange(n_win) < l_final)[:, None], final_rows, 0.0)
+    new_state = ColorState(l_final, final_rows.reshape(state.window.shape))
+    return new_state, outs

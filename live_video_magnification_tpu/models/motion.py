@@ -149,7 +149,8 @@ def process_clip_parallel(
     dyn: MotionDynParams,
     *,
     levels: int,
-) -> jnp.ndarray:
+    state: MotionState | None = None,
+) -> Tuple[MotionState, jnp.ndarray]:
     """Time-parallel batch export: the EMA recurrences as associative scans.
 
     The two temporal low-passes are affine recurrences l_t = a*l_{t-1} + b_t
@@ -157,14 +158,18 @@ def process_clip_parallel(
     lax.associative_scan over the time axis instead of a sequential carry —
     O(log T) depth. This is the sequence-parallel formulation (SURVEY.md §5):
     under a mesh the T axis can be sharded and XLA turns the scan combines at
-    shard boundaries into collectives. First-frame seeding (state = first
-    pyramid) falls out of running the scan from l_0 = x_0.
+    shard boundaries into collectives.
 
-    Returns the [T, C, H, W] u8 outputs (cold start; no carried state in/out —
-    use process_clip for chunked/streaming continuation).
+    `state` enables chunked continuation: the carried EMA pair seeds the scan
+    (first-frame seeding falls out of the count==0 case, mirroring step()'s
+    arithmetic exactly). Returns (final_state, outs [T, C, H, W] u8) like
+    process_clip.
     """
     t, c, h, w = frames_u8.shape
     color = c >= 3
+    if state is None:
+        state = init_state(h, w, c, levels)
+    first = state.count == 0
 
     def to_input(frame_u8):
         x = u8_to_unit_f32(frame_u8)
@@ -176,12 +181,16 @@ def process_clip_parallel(
     co_low = jnp.where(dyn.co_low == 0.0, 0.01, dyn.co_low)
     co_high = dyn.co_high
 
-    def ema_scan(xs, cutoff):
-        # l_t = (1-cutoff) l_{t-1} + cutoff x_t, l_0 = x_0  (first-frame seed)
+    def ema_scan(xs, cutoff, carry):
+        # l_t = (1-cutoff) l_{t-1} + cutoff x_t. The t=0 element folds in the
+        # seed: first frame uses its own pyramid (step()'s where(first, ...)),
+        # continuation uses the carried EMA state — same arithmetic either way.
+        seed = jnp.where(first, xs[0], carry)
+        b0 = (1.0 - cutoff) * seed + cutoff * xs[0]
         a = jnp.concatenate(
             [jnp.ones((1,), xs.dtype), jnp.full((t - 1,), 1.0 - cutoff, xs.dtype)]
         )
-        b = jnp.concatenate([xs[:1], cutoff * xs[1:]], axis=0)
+        b = jnp.concatenate([b0[None], cutoff * xs[1:]], axis=0)
         a = a.reshape((t,) + (1,) * (xs.ndim - 1))
 
         def combine(lhs, rhs):
@@ -194,10 +203,18 @@ def process_clip_parallel(
         return l
 
     motion_levels = []
+    new_hi, new_lo = [], []
     for lvl in range(levels):
         xs = pyrs[lvl]
-        motion_levels.append(ema_scan(xs, co_high) - ema_scan(xs, co_low))
+        l_hi = ema_scan(xs, co_high, state.lowpass_hi[lvl])
+        l_lo = ema_scan(xs, co_low, state.lowpass_lo[lvl])
+        motion_levels.append(l_hi - l_lo)
+        new_hi.append(l_hi[-1])
+        new_lo.append(l_lo[-1])
     motion_levels.append(pyrs[levels])  # residual (zeroed below)
+    # Residual EMA slots: seeded on the global first frame, then carried.
+    new_hi.append(jnp.where(first, pyrs[levels][0], state.lowpass_hi[levels]))
+    new_lo.append(jnp.where(first, pyrs[levels][0], state.lowpass_lo[levels]))
 
     delta = dyn.co_wavelength / (8.0 * (1.0 + dyn.amplification))
     lam = math.sqrt(float(w * w + h * h)) / 3.0
@@ -225,4 +242,6 @@ def process_clip_parallel(
         out = inp + motion_img
         return to_u8(lab_to_bgr(out) if color else out, 255.0, 1.0 / 255.0)
 
-    return jax.vmap(finalize)(tuple(amplified), inputs)
+    outs = jax.vmap(finalize)(tuple(amplified), inputs)
+    new_state = MotionState(state.count + t, tuple(new_hi), tuple(new_lo))
+    return new_state, outs

@@ -208,7 +208,8 @@ def process_clip_parallel(
     dyn: RieszDynParams,
     *,
     levels: int,
-) -> jnp.ndarray:
+    state: RieszState | None = None,
+) -> Tuple[RieszState, jnp.ndarray]:
     """Time-parallel batch export of phase mode (SURVEY.md §5 sequence parallelism).
 
     Every per-frame stage (Lab, pyramid build, phase difference vs the previous
@@ -220,15 +221,25 @@ def process_clip_parallel(
     axis sharded this is the sequence-parallel export path: XLA splits the
     scans into local scans plus shard-boundary combines over ICI.
 
-    Cold start only (state = first frame's pyramid, filters zeroed), static
-    cutoffs for the whole clip — the batch-export contract. `reset_filters` /
-    `force_init` mid-clip events are a streaming concern; use process_clip.
+    `state` enables chunked continuation (prior pyramid, accumulated phase and
+    DF-II registers are carried); a cold start (state=None) seeds from the
+    first frame's pyramid with zeroed filters. Static cutoffs for the whole
+    clip — the batch-export contract. `reset_filters` / `force_init` mid-clip
+    events are a streaming concern; use process_clip.
 
-    Returns [T, 3, H, W] u8, bit-comparable to process_clip's outputs.
+    Returns (final_state, outs [T, 3, H, W] u8), numerically equivalent to
+    process_clip (exact on typical smooth video; on noise-like input the
+    cumsum/scan reassociation feeding arccos and small-amplitude divisions can
+    shift u8 rounding, so parity tests should use realistic fixtures or a
+    tolerance).
     """
     from live_video_magnification_tpu.ops.temporal import df2_filter_parallel
 
     t = frames_u8.shape[0]
+    h, w = frames_u8.shape[-2], frames_u8.shape[-1]
+    if state is None:
+        state = init_state(h, w, levels)
+    first = state.count == 0
 
     def front(frame_u8):
         lab = bgr_to_lab(u8_to_unit_f32(frame_u8))
@@ -237,26 +248,55 @@ def process_clip_parallel(
 
     labs, pyrs = jax.vmap(front)(frames_u8)  # leaves [T, lh, lw]
 
-    def df2_pair(phase: CompExp, b, a) -> CompExp:
-        yc, _, _ = df2_filter_parallel(phase.cos, b, a)
-        ys, _, _ = df2_filter_parallel(phase.sin, b, a)
-        return CompExp(yc, ys)
+    def df2_pair(phase: CompExp, fls: FilterLevelState, b, a):
+        def masked(x):
+            return jnp.where(first, jnp.zeros_like(x), x)
+
+        yc, r0c, r1c = df2_filter_parallel(
+            phase.cos, b, a, reg0_init=masked(fls.reg0.cos), reg1_init=masked(fls.reg1.cos)
+        )
+        ys, r0s, r1s = df2_filter_parallel(
+            phase.sin, b, a, reg0_init=masked(fls.reg0.sin), reg1_init=masked(fls.reg1.sin)
+        )
+        final = FilterLevelState(
+            CompExp(phase.cos[-1], phase.sin[-1]),
+            CompExp(r0c[-1], r0s[-1]),
+            CompExp(r1c[-1], r1s[-1]),
+        )
+        return CompExp(yc, ys), final
 
     lowpasses: List[jnp.ndarray] = []
+    new_lo: List[FilterLevelState] = []
+    new_hi: List[FilterLevelState] = []
     for lvl in range(levels - 1):
         cur = pyrs[lvl]
-        # prior[t] = cur[t-1]; prior[0] = cur[0] (first-frame "rebuild_old").
+        # prior[t] = cur[t-1]; prior[0] = carried pyramid, or cur[0] on the
+        # global first frame (the "rebuild_old" seed).
         prior = jax.tree.map(
-            lambda x: jnp.concatenate([x[:1], x[:-1]], axis=0), cur
+            lambda x, s: jnp.concatenate(
+                [jnp.where(first, x[:1], s[None]), x[:-1]], axis=0
+            ),
+            cur, state.old[lvl],
         )
         pr = jax.vmap(phase_difference_and_amplitude)(cur, prior)
-        # Phase unwrap state: accumulated quaternionic phase differences.
-        phase = CompExp(
-            jnp.cumsum(pr.phase_diff.cos, axis=0),
-            jnp.cumsum(pr.phase_diff.sin, axis=0),
+        # Phase unwrap state: accumulated quaternionic phase differences on top
+        # of the carried accumulators (zero on a cold start).
+        def acc(diff, carried):
+            carried = jnp.where(first, jnp.zeros_like(carried), carried)
+            return carried[None] + jnp.cumsum(diff, axis=0)
+
+        phase_lo = CompExp(
+            acc(pr.phase_diff.cos, state.lo[lvl].phase.cos),
+            acc(pr.phase_diff.sin, state.lo[lvl].phase.sin),
         )
-        lo_res = df2_pair(phase, dyn.b_lo, dyn.a_lo)
-        hi_res = df2_pair(phase, dyn.b_hi, dyn.a_hi)
+        phase_hi = CompExp(
+            acc(pr.phase_diff.cos, state.hi[lvl].phase.cos),
+            acc(pr.phase_diff.sin, state.hi[lvl].phase.sin),
+        )
+        lo_res, lo_final = df2_pair(phase_lo, state.lo[lvl], dyn.b_lo, dyn.a_lo)
+        hi_res, hi_final = df2_pair(phase_hi, state.hi[lvl], dyn.b_hi, dyn.a_hi)
+        new_lo.append(lo_final)
+        new_hi.append(hi_final)
         normalized = jax.vmap(normalize_phase)(
             hi_res, lo_res, pr.amplitude, pr.amplitude_blurred
         )
@@ -273,6 +313,13 @@ def process_clip_parallel(
 
     merged = jnp.stack([magnified, labs[:, 1], labs[:, 2]], axis=1)
     out_u8 = jax.vmap(lambda m: to_u8(lab_to_bgr(m), 255.0, 1.0 / 255.0))(merged)
-    # First frame (and force_init clips) pass the raw input through.
-    passthrough = jnp.zeros((t,), bool).at[0].set(True) | dyn.force_init
-    return jnp.where(passthrough[:, None, None, None], frames_u8, out_u8)
+    # The global first frame (and force_init clips) pass the raw input through.
+    passthrough = (jnp.zeros((t,), bool).at[0].set(True) & first) | dyn.force_init
+    outs = jnp.where(passthrough[:, None, None, None], frames_u8, out_u8)
+
+    new_old = tuple(
+        RieszLevel(p.lowpass[-1], CompExp(p.riesz.cos[-1], p.riesz.sin[-1]))
+        for p in pyrs
+    )
+    new_state = RieszState(state.count + t, new_old, tuple(new_lo), tuple(new_hi))
+    return new_state, outs

@@ -102,12 +102,13 @@ def build_riesz_pyramid(
     for _ in range(levels - 1):
         h, w = octave.shape[-2], octave.shape[-1]
         fused_ok = use_pallas if use_pallas is not None else _use_fused_build(h, w)
+        # An explicit use_pallas=True still goes through _use_mxu (backend +
+        # MIN_MXU_DIM gating): the non-interpret MXU kernels only lower on TPU.
         mxu_ok = (
             octave.ndim == 2
             and fused_ok
-            and (use_pallas is not None or _use_mxu(h, w))
+            and _use_mxu(h, w)
             and os.environ.get("LVMT_BUILD", "auto") != "fused"
-            and min(h, w) >= 96
         )
         if mxu_ok:
             from live_video_magnification_tpu.ops.pallas.conv9_mxu import (

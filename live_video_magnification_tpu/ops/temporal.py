@@ -218,8 +218,14 @@ def df2_filter_parallel(xs: jnp.ndarray, b, a, reg0_init=None, reg1_init=None):
 
     xs: [T, ...]; b, a: [3] coefficient arrays (a[0] == 1, traced OK).
     reg0_init/reg1_init: optional initial registers (broadcastable to xs[0]),
-    for chunked continuation. Returns (y [T, ...], reg0 [T,...], reg1 [T,...]).
+    for chunked continuation; passing only one defaults the other to zeros.
+    Returns (y [T, ...], reg0 [T,...], reg1 [T,...]).
     """
+    if (reg0_init is None) != (reg1_init is None):
+        if reg0_init is None:
+            reg0_init = jnp.zeros_like(xs[0])
+        else:
+            reg1_init = jnp.zeros_like(xs[0])
     t = xs.shape[0]
     bcast = (t,) + (1,) * (xs.ndim - 1)
     c1 = (b[1] - a[1] * b[0]) * xs

@@ -88,6 +88,49 @@ def test_checkpoint_rejects_wrong_config(tmp_path):
         ClipProcessor(other, 32, 40, 3).load_checkpoint(ck)
 
 
+def test_time_parallel_export_equals_sequential():
+    """The --time-parallel chunked export path == the sequential scan path,
+    across chunk boundaries, through the FULL chain (preprocess ROI + downscale
+    + grayscale interplay included), for all three modes."""
+    import dataclasses
+
+    from live_video_magnification_tpu.models.params import PreprocessParams
+
+    pre = PreprocessParams(downscale=1, roi_enabled=True,
+                           roi_x=0.1, roi_y=0.05, roi_w=0.8, roi_h=0.9)
+    cfgs = {
+        "laplace_gray": dataclasses.replace(CFG, grayscale=True, preprocess=pre),
+        "phase": ProcessorConfig(
+            preprocess=pre,
+            magnification=MagnificationParams(
+                mode=MagnificationMode.PHASE, amplification=30, co_wavelength=40,
+                co_low=0.5, co_high=3.0, levels=2, framerate=30.0,
+            ),
+        ),
+        "color": ProcessorConfig(
+            magnification=MagnificationParams(
+                mode=MagnificationMode.COLOR, amplification=60, co_low=0.4,
+                co_high=1.2, levels=2, framerate=4.0,
+            ),
+        ),
+    }
+    frames = _clip(t=11, h=48, w=64)
+    for name, cfg in cfgs.items():
+        seq_p, seq_o = [], []
+        for p, o in export_frames(frames, cfg, chunk_size=4):
+            seq_p.append(p)
+            seq_o.append(o)
+        par_p, par_o = [], []
+        for p, o in export_frames(frames, cfg, chunk_size=4, time_parallel=True):
+            par_p.append(p)
+            par_o.append(o)
+        a = np.concatenate(seq_p)
+        b = np.concatenate(par_p)
+        d = np.abs(a.astype(np.int16) - b.astype(np.int16)).max()
+        assert d <= 1, f"{name}: max diff {d} LSB"
+        np.testing.assert_array_equal(np.concatenate(seq_o), np.concatenate(par_o))
+
+
 def test_compose_split_modes():
     o = np.full((33, 41, 3), 10, np.uint8)
     p = np.full((33, 41, 3), 200, np.uint8)

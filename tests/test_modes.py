@@ -178,6 +178,6 @@ def test_parallel_clip_equals_sequential_motion():
         jnp.float32(0.4),
     )
     _, seq = motion_mode.process_clip(arr, dyn, levels=levels)
-    par = motion_mode.process_clip_parallel(arr, dyn, levels=levels)
+    _, par = motion_mode.process_clip_parallel(arr, dyn, levels=levels)
     d = np.abs(np.asarray(seq).astype(np.int16) - np.asarray(par).astype(np.int16))
     assert d.max() <= 1, f"max diff {d.max()} LSB"  # reassociated EMA rounding
