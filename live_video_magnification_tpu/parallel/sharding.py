@@ -74,11 +74,19 @@ def build_sharded_step(
     levels: int,
     framerate: float = 30.0,
     channels: int = 3,
+    kernels: str | None = None,
 ) -> Tuple[Callable, object]:
     """Returns (jitted_step, sharded_init_state) for a batched, sharded mode step.
 
     jitted_step(state, frames_u8 [B,C,H,W], dyn) -> (state, outs [B,C,H,W]).
     dyn params are replicated (in_axes=None under vmap).
+
+    Phase mode prefers the explicit shard_map path (Pallas MXU stencils on
+    halo-exchanged W shards — parallel/riesz_sharded.py); frames/state then
+    shard W on 'tile' instead of H. When the frame's level widths don't divide
+    the mesh it falls back to this module's GSPMD jnp path (pallas_call is
+    opaque to the SPMD partitioner). `kernels` forwards to the explicit path
+    ('jnp' | 'pallas' | 'interpret'; None = auto by backend).
     """
     if mode is MagnificationMode.LAPLACE:
         single = partial(motion_mode.step, levels=levels)
@@ -87,8 +95,14 @@ def build_sharded_step(
         single = partial(color_mode.step, levels=levels, framerate=framerate)
         init = lambda: color_mode.init_state(h, w, channels, levels, framerate)
     elif mode is MagnificationMode.PHASE:
-        # Pallas kernels are opaque to the SPMD partitioner; the sharded path
-        # uses the jnp ops, whose stencils XLA partitions with halo exchange.
+        from live_video_magnification_tpu.parallel.riesz_sharded import (
+            build_sharded_riesz_step,
+            make_plan,
+        )
+
+        if make_plan(h, w, levels, mesh.shape["tile"]).sharded[0]:
+            return build_sharded_riesz_step(mesh, batch, h, w, levels, kernels=kernels)
+        # GSPMD fallback: jnp stencils, XLA places the halo exchange.
         single = partial(riesz_mode.step, levels=levels, use_pallas=False)
         init = lambda: riesz_mode.init_state(h, w, levels)
     else:

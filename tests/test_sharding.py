@@ -120,6 +120,83 @@ def test_sharded_motion_equals_single_device():
         assert_u8_close(np.asarray(out), np.stack(outs_ref))
 
 
+@pytest.mark.parametrize("mesh_shape,levels", [((2, 4), 3), ((1, 8), 3)])
+def test_explicit_riesz_shard_map_equals_single_device(mesh_shape, levels):
+    """The explicit shard_map path (parallel/riesz_sharded.py, jnp kernels):
+    halo-exchanged W shards + replicated small levels == per-stream stepping."""
+    from live_video_magnification_tpu.parallel.riesz_sharded import (
+        build_sharded_riesz_step,
+        make_plan,
+    )
+
+    batch, t, h, w = 2, 3, 64, 256
+    n = mesh_shape[1]
+    plan = make_plan(h, w, levels, n)
+    assert plan.sharded[0], "test dims must lane-shard at level 0"
+    frames = _frames(batch, t, h, w)
+    dyn = _riesz_dyn(levels)
+    mesh = make_mesh(mesh_shape, ("batch", "tile"))
+    step, state = build_sharded_riesz_step(mesh, batch, h, w, levels, kernels="jnp")
+
+    ref_states = [riesz_mode.init_state(h, w, levels) for _ in range(batch)]
+    for ti in range(t):
+        outs_ref = []
+        for b in range(batch):
+            ref_states[b], o = riesz_mode.step(
+                ref_states[b], jnp.asarray(frames[b, ti]), dyn, levels=levels
+            )
+            outs_ref.append(np.asarray(o))
+        state, out = step(state, jnp.asarray(frames[:, ti]), dyn)
+        assert_u8_close(np.asarray(out), np.stack(outs_ref))
+
+
+def test_explicit_riesz_pallas_interpret_equals_single_device():
+    """Same path with the actual Pallas MXU kernels (interpret mode) inside
+    shard_map — VERDICT round-1 item 2's done-criterion."""
+    from live_video_magnification_tpu.parallel.riesz_sharded import (
+        build_sharded_riesz_step,
+        make_plan,
+    )
+
+    batch, t, h, w, levels = 1, 2, 64, 256, 2
+    mesh = make_mesh((1, 8), ("batch", "tile"))
+    assert make_plan(h, w, levels, 8).fully_sharded
+    frames = _frames(batch, t, h, w)
+    dyn = _riesz_dyn(levels)
+    step, state = build_sharded_riesz_step(mesh, batch, h, w, levels,
+                                           kernels="interpret")
+
+    ref_state = riesz_mode.init_state(h, w, levels)
+    for ti in range(t):
+        ref_state, o = riesz_mode.step(
+            ref_state, jnp.asarray(frames[0, ti]), dyn, levels=levels
+        )
+        state, out = step(state, jnp.asarray(frames[:, ti]), dyn)
+        assert_u8_close(np.asarray(out[0]), np.asarray(o))
+
+
+def test_explicit_riesz_mesh_of_one_keeps_pallas_path():
+    """Mesh of 1: the explicit path degenerates to the plain Pallas kernels
+    (no collectives), bit-matching the single-device step — the single-chip
+    bench runs this exact code path."""
+    from live_video_magnification_tpu.parallel.riesz_sharded import (
+        build_sharded_riesz_step,
+    )
+
+    batch, t, h, w, levels = 1, 2, 48, 64, 2
+    mesh = make_mesh((1, 1), ("batch", "tile"), devices=jax.devices()[:1])
+    frames = _frames(batch, t, h, w)
+    dyn = _riesz_dyn(levels)
+    step, state = build_sharded_riesz_step(mesh, batch, h, w, levels, kernels="jnp")
+    ref_state = riesz_mode.init_state(h, w, levels)
+    for ti in range(t):
+        ref_state, o = riesz_mode.step(
+            ref_state, jnp.asarray(frames[0, ti]), dyn, levels=levels
+        )
+        state, out = step(state, jnp.asarray(frames[:, ti]), dyn)
+        assert_u8_close(np.asarray(out[0]), np.asarray(o), max_lsb=0)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
