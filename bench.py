@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Headline benchmark: 4K phase-based magnification throughput per chip.
+"""Benchmarks. Default: the headline 4K phase throughput (ONE JSON line).
 
 Prints ONE JSON line:
   {"metric": "phase_4k_fps_per_chip", "value": N, "unit": "fps", "vs_baseline": N/60}
@@ -15,7 +15,13 @@ scalar checksum readback. This is immune to two quirks of the axon TPU relay:
 jax.block_until_ready returning at dispatch time, and glacial device->host
 transfers (the checksum is 4 bytes and doubles as proof of execution).
 
-Flags: --small (720p), --steps N, --mode phase|laplace|color.
+Flags:
+  --small / --res HxW / --levels / --steps / --mode phase|laplace|color
+  --matrix          run the BASELINE.md config matrix (configs 1-4 + headline
+                    + time-parallel + sharded-step) and write BENCH_MATRIX.json
+  --sharded         bench the explicit shard_map Pallas step (mesh of 1)
+  --time-parallel   bench the sequence-parallel clip path instead of the scan
+  --streaming       bench the real host streaming loop (decode->chain->mailbox)
 """
 
 from __future__ import annotations
@@ -28,6 +34,296 @@ import time
 from functools import partial
 
 
+def _mode_setup(mode: str, h: int, w: int, levels: int, fps_cfg: float):
+    import jax.numpy as jnp
+
+    if mode == "phase":
+        from live_video_magnification_tpu.models import riesz as m
+        from live_video_magnification_tpu.ops.temporal import butterworth_bandpass_coeffs
+
+        b_lo, a_lo = butterworth_bandpass_coeffs(1.0, fps_cfg)
+        b_hi, a_hi = butterworth_bandpass_coeffs(5.0, fps_cfg)
+        dyn = m.RieszDynParams(
+            jnp.float32(50.0), jnp.float32(0.5 * math.pi),
+            jnp.asarray(b_lo, jnp.float32), jnp.asarray(a_lo, jnp.float32),
+            jnp.asarray(b_hi, jnp.float32), jnp.asarray(a_hi, jnp.float32),
+            jnp.asarray(False), jnp.asarray(False),
+        )
+        state = m.init_state(h, w, levels)
+        step = partial(m.step, levels=levels)
+        clip_parallel = partial(m.process_clip_parallel, levels=levels)
+    elif mode == "laplace":
+        from live_video_magnification_tpu.models import motion as m
+        from live_video_magnification_tpu.models.params import motion_hz_to_blend
+
+        dyn = m.MotionDynParams(
+            jnp.float32(20.0), jnp.float32(500.0),
+            jnp.float32(motion_hz_to_blend(1.0, fps_cfg)),
+            jnp.float32(motion_hz_to_blend(5.0, fps_cfg)),
+            jnp.float32(0.3),
+        )
+        state = m.init_state(h, w, 3, levels)
+        step = partial(m.step, levels=levels)
+        clip_parallel = partial(m.process_clip_parallel, levels=levels)
+    else:
+        from live_video_magnification_tpu.models import color as m
+
+        dyn = m.ColorDynParams(jnp.float32(100.0), jnp.float32(0.84), jnp.float32(1.43))
+        state = m.init_state(h, w, 3, levels, fps_cfg)
+        step = partial(m.step, levels=levels, framerate=fps_cfg)
+        clip_parallel = partial(m.process_clip_parallel, levels=levels,
+                                framerate=fps_cfg)
+    return state, dyn, step, clip_parallel
+
+
+def _rtt():
+    """Scalar dispatch+readback round-trip (compiled probe, 2nd call)."""
+    import jax
+    import jax.numpy as jnp
+
+    rtt_fn = jax.jit(lambda x: x + 1.0)
+    float(rtt_fn(jnp.float32(0.0)))
+    t0 = time.monotonic()
+    _ = float(rtt_fn(jnp.float32(1.0)))
+    return time.monotonic() - t0
+
+
+def bench_mode_scan(mode: str, h: int, w: int, levels: int, steps: int,
+                    fps_cfg: float = 30.0) -> dict:
+    """Sequential lax.scan of `steps` magnification steps; one checksum sync."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    state, dyn, step, _ = _mode_setup(mode, h, w, levels, fps_cfg)
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.integers(0, 255, (3, h, w + 64), dtype=np.uint8))
+
+    @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+    def run_n(state, dyn, n):
+        def body(st, t):
+            frame = jax.lax.dynamic_slice_in_dim(base, t % 64, w, axis=2)
+            st, out = step(st, frame, dyn)
+            return st, jnp.sum(out[:, ::64, ::64].astype(jnp.int32))
+
+        state, sums = jax.lax.scan(body, state, jnp.arange(n))
+        return state, jnp.sum(sums)
+
+    t0 = time.monotonic()
+    state, chk = run_n(state, dyn, steps)
+    warm = int(chk)
+    compile_s = time.monotonic() - t0
+    rtt = _rtt()
+    t0 = time.monotonic()
+    state, chk = run_n(state, dyn, steps)
+    final = int(chk)
+    dt = max(1e-9, time.monotonic() - t0 - rtt)
+    return {
+        "fps": steps / dt, "compile_s": compile_s, "rtt_s": rtt,
+        "ms_per_frame": dt / steps * 1e3, "checksums": (warm, final),
+    }
+
+
+def bench_time_parallel(mode: str, h: int, w: int, levels: int, t_chunk: int,
+                        fps_cfg: float = 30.0) -> dict:
+    """Sequence-parallel clip path (process_clip_parallel), one dispatch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    state, dyn, _, clip_parallel = _mode_setup(mode, h, w, levels, fps_cfg)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255, (t_chunk, 3, h, w), dtype=np.uint8))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state, frames, dyn):
+        state, outs = clip_parallel(frames, dyn, state=state)
+        return state, jnp.sum(outs[:, :, ::64, ::64].astype(jnp.int32))
+
+    t0 = time.monotonic()
+    state, chk = run(state, frames, dyn)
+    warm = int(chk)
+    compile_s = time.monotonic() - t0
+    rtt = _rtt()
+    t0 = time.monotonic()
+    state, chk = run(state, frames, dyn)
+    final = int(chk)
+    dt = max(1e-9, time.monotonic() - t0 - rtt)
+    return {
+        "fps": t_chunk / dt, "compile_s": compile_s, "rtt_s": rtt,
+        "ms_per_frame": dt / t_chunk * 1e3, "checksums": (warm, final),
+    }
+
+
+def bench_sharded_step(h: int, w: int, levels: int, steps: int,
+                       fps_cfg: float = 30.0) -> dict:
+    """Explicit shard_map Pallas phase step on a mesh of 1 (the multi-chip
+    code path, single-chip speed — VERDICT round-1 item 2 done criterion)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from live_video_magnification_tpu.parallel.mesh import make_mesh
+    from live_video_magnification_tpu.parallel.riesz_sharded import (
+        build_sharded_riesz_step,
+    )
+
+    mesh = make_mesh((1, 1), ("batch", "tile"), devices=jax.devices()[:1])
+    step, state = build_sharded_riesz_step(mesh, 1, h, w, levels)
+    _, dyn, _, _ = _mode_setup("phase", h, w, levels, fps_cfg)
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.integers(0, 255, (1, 3, h, w), dtype=np.uint8))
+
+    t0 = time.monotonic()
+    state, out = step(state, frame, dyn)
+    warm = int(jnp.sum(out[:, :, ::64, ::64].astype(jnp.int32)))
+    compile_s = time.monotonic() - t0
+    rtt = _rtt()
+    t0 = time.monotonic()
+    for _ in range(steps):
+        state, out = step(state, frame, dyn)
+    final = int(jnp.sum(out[:, :, ::64, ::64].astype(jnp.int32)))
+    dt = max(1e-9, time.monotonic() - t0 - rtt)
+    return {
+        "fps": steps / dt, "compile_s": compile_s, "rtt_s": rtt,
+        "ms_per_frame": dt / steps * 1e3, "checksums": (warm, final),
+    }
+
+
+def bench_streaming(h: int = 1080, w: int = 1920, fps: float = 60.0,
+                    duration: float = 10.0, mode: str = "none",
+                    native: bool = False) -> dict:
+    """The REAL host loop (BASELINE config 4): SyntheticSource 1080p@60 ->
+    queue -> ProcessingChain (ROI + 1/2 downscale) -> mailbox, measured by
+    Instrumentation (fps + latency p95). NOTE: on the axon relay, device->host
+    frame readback (~320 KB/s) dominates any on-device mode; mode='none' still
+    exercises the full transport + preprocess path."""
+    import os
+
+    from live_video_magnification_tpu.engine.controller import PlaybackController
+    from live_video_magnification_tpu.models.params import (
+        MagnificationMode,
+        MagnificationParams,
+        PreprocessParams,
+    )
+
+    os.environ["LVMT_NATIVE"] = "1" if native else "0"
+    ctrl = PlaybackController()
+    mode_map = {"none": MagnificationMode.NONE, "phase": MagnificationMode.PHASE,
+                "laplace": MagnificationMode.LAPLACE, "color": MagnificationMode.COLOR}
+    ctrl.set_magnification(MagnificationParams(
+        mode=mode_map[mode], amplification=20, co_low=1.0, co_high=5.0,
+        levels=4, framerate=fps,
+    ))
+    ctrl.set_downscale(2)
+    assert ctrl.open_synthetic(h=h, w=w, fps=fps)
+    ctrl.set_roi(0.25, 0.25, 0.5, 0.5)
+    ctrl.play()
+    # Poll stats like the GUI's 4 Hz timer (the fps EMA advances per snapshot);
+    # also compute a whole-run mean over the steady half.
+    t0 = time.monotonic()
+    mid_processed = 0
+    while time.monotonic() - t0 < duration:
+        time.sleep(0.25)
+        s = ctrl.stats()
+        if mid_processed == 0 and time.monotonic() - t0 >= duration / 2:
+            mid_processed = s.processed
+            mid_t = time.monotonic()
+    s = ctrl.stats()
+    steady_fps = (s.processed - mid_processed) / max(1e-9, time.monotonic() - mid_t)
+    ctrl.close()
+    return {
+        "fps": steady_fps, "fps_ema": s.process_fps,
+        "latency_ms_mean": s.latency_ms_mean,
+        "latency_ms_p95": s.latency_ms_p95, "captured": s.captured,
+        "processed": s.processed, "target_fps": fps,
+    }
+
+
+def run_matrix(steps: int) -> list:
+    """BASELINE.md benchmark configs. Returns a list of result dicts."""
+    import jax
+
+    dev = jax.devices()[0].device_kind
+    results = []
+
+    def add(metric, target, fn, note=""):
+        try:
+            r = fn()
+        except Exception as e:  # one failing config must not kill the matrix
+            entry = {"metric": metric, "error": f"{type(e).__name__}: {e}"[:300]}
+            results.append(entry)
+            print(json.dumps(entry))
+            return
+        entry = {
+            "metric": metric, "value": round(r["fps"], 2), "unit": "fps",
+            "target": target, "vs_baseline": round(r["fps"] / target, 3),
+            "ms_per_frame": round(r.get("ms_per_frame", 0.0), 2),
+            "device": dev,
+        }
+        if note:
+            entry["note"] = note
+        results.append(entry)
+        print(json.dumps(entry))
+
+    # config 1: color 640x480 L4 (CPU-runnable in the BASELINE table; here on
+    # the available backend) — target: real-time 30 fps capture rate
+    add("color_640x480_fps_per_chip", 30.0,
+        lambda: bench_mode_scan("color", 480, 640, 4, steps))
+    # config 2: laplace 720p L5 chroma
+    add("laplace_720p_fps_per_chip", 30.0,
+        lambda: bench_mode_scan("laplace", 720, 1280, 5, steps))
+    # config 3: phase 1080p L6
+    add("phase_1080p_fps_per_chip", 60.0,
+        lambda: bench_mode_scan("phase", 1080, 1920, 6, steps))
+    # headline: phase 4K L6
+    add("phase_4k_fps_per_chip", 60.0,
+        lambda: bench_mode_scan("phase", 2160, 3840, 6, steps))
+    # config 5 proxy (single chip): sequence-parallel batch export chunk.
+    # T=8 at 1080p: the parallel form materializes O(T)-sized intermediates
+    # per level; T=32 overflows the 16 GB HBM of one v5e chip.
+    add("phase_1080p_timeparallel_fps_per_chip", 60.0,
+        lambda: bench_time_parallel("phase", 1080, 1920, 6, t_chunk=8),
+        note="process_clip_parallel T=8 chunk (config-5 single-chip proxy)")
+    # sharded-step code path at mesh of 1 (multi-chip path, single-chip speed)
+    add("phase_4k_shardedstep_fps_per_chip", 60.0,
+        lambda: bench_sharded_step(2160, 3840, 6, steps),
+        note="explicit shard_map Pallas path, mesh=1 (per-call dispatch)")
+    # config 4: streaming host loop 1080p@60 ROI + 1/2, measured on the CPU
+    # backend in a subprocess — through the axon relay the device->host frame
+    # readback (~320 KB/s) is the artifact being avoided; the metric here is
+    # the HOST transport loop (source->queue->chain->mailbox) itself.
+    import os
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    for native in (False, True):
+        code = ("import jax; jax.config.update('jax_platforms','cpu');"
+                "import bench, json; "
+                f"s = bench.bench_streaming(native={native});"
+                "print(json.dumps(s))")
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                             text=True, env=env, timeout=300,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        s = json.loads(out.stdout.strip().splitlines()[-1])
+        entry = {
+            "metric": "streaming_1080p60_hostloop_fps"
+                      + ("_native" if native else ""),
+            "value": round(s["fps"], 2),
+            "unit": "fps", "target": 60.0, "vs_baseline": round(s["fps"] / 60.0, 3),
+            "latency_ms_p95": round(s["latency_ms_p95"], 1), "device": "cpu-host",
+            "note": ("LVMT_NATIVE=1 C arena/queue transport; " if native else "")
+                    + "real host loop (source->queue->chain->mailbox), mode=none, "
+                    "ROI 0.5x0.5 + 1/2 downscale, CPU backend (relay transfers "
+                    "would otherwise dominate; on-device throughput is covered "
+                    "by the per-mode scan metrics)",
+        }
+        results.append(entry)
+        print(json.dumps(entry))
+    return results
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="720p instead of 4K")
@@ -35,11 +331,31 @@ def main() -> int:
     ap.add_argument("--levels", type=int, default=None)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--mode", default="phase", choices=["phase", "laplace", "color"])
+    ap.add_argument("--matrix", action="store_true", help="run BASELINE config matrix")
+    ap.add_argument("--sharded", action="store_true")
+    ap.add_argument("--time-parallel", action="store_true")
+    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--out", default="BENCH_MATRIX.json")
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
-    import numpy as np
+
+    if args.matrix:
+        results = run_matrix(args.steps)
+        with open(args.out, "w") as f:
+            json.dump({"device": jax.devices()[0].device_kind,
+                       "results": results}, f, indent=1)
+        print(f"# wrote {args.out}", file=sys.stderr)
+        return 0
+
+    if args.streaming:
+        s = bench_streaming()
+        print(json.dumps({"metric": "streaming_1080p60_hostloop_fps",
+                          "value": round(s["fps"], 2), "unit": "fps",
+                          "vs_baseline": round(s["fps"] / 60.0, 3)}))
+        print(f"# p95={s['latency_ms_p95']:.1f}ms processed={s['processed']}",
+              file=sys.stderr)
+        return 0
 
     if args.res:
         h, w = (int(v) for v in args.res.split("x"))
@@ -54,82 +370,25 @@ def main() -> int:
     if args.levels:
         levels = args.levels
 
-    fps_cfg = 30.0
-
-    if args.mode == "phase":
-        from live_video_magnification_tpu.models import riesz as m
-        from live_video_magnification_tpu.ops.temporal import butterworth_bandpass_coeffs
-
-        b_lo, a_lo = butterworth_bandpass_coeffs(1.0, fps_cfg)
-        b_hi, a_hi = butterworth_bandpass_coeffs(5.0, fps_cfg)
-        dyn = m.RieszDynParams(
-            jnp.float32(50.0), jnp.float32(0.5 * math.pi),
-            jnp.asarray(b_lo, jnp.float32), jnp.asarray(a_lo, jnp.float32),
-            jnp.asarray(b_hi, jnp.float32), jnp.asarray(a_hi, jnp.float32),
-            jnp.asarray(False), jnp.asarray(False),
-        )
-        state = m.init_state(h, w, levels)
-        step = partial(m.step, levels=levels)
-    elif args.mode == "laplace":
-        from live_video_magnification_tpu.models import motion as m
-        from live_video_magnification_tpu.models.params import motion_hz_to_blend
-
-        dyn = m.MotionDynParams(
-            jnp.float32(20.0), jnp.float32(500.0),
-            jnp.float32(motion_hz_to_blend(1.0, fps_cfg)),
-            jnp.float32(motion_hz_to_blend(5.0, fps_cfg)),
-            jnp.float32(0.3),
-        )
-        state = m.init_state(h, w, 3, levels)
-        step = partial(m.step, levels=levels)
+    if args.sharded:
+        r = bench_sharded_step(h, w, levels, args.steps)
+        metric = f"phase_{name_res}_shardedstep_fps_per_chip"
+    elif args.time_parallel:
+        r = bench_time_parallel(args.mode, h, w, levels, t_chunk=args.steps)
+        metric = f"{args.mode}_{name_res}_timeparallel_fps_per_chip"
     else:
-        from live_video_magnification_tpu.models import color as m
+        r = bench_mode_scan(args.mode, h, w, levels, args.steps)
+        metric = f"{args.mode}_{name_res}_fps_per_chip"
 
-        dyn = m.ColorDynParams(jnp.float32(100.0), jnp.float32(0.84), jnp.float32(1.43))
-        state = m.init_state(h, w, 3, levels, fps_cfg)
-        step = partial(m.step, levels=levels, framerate=fps_cfg)
-
-    rng = np.random.default_rng(0)
-    base = jnp.asarray(rng.integers(0, 255, (3, h, w + 64), dtype=np.uint8))
-
-    @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
-    def run_n(state, dyn, n):
-        def body(st, t):
-            frame = jax.lax.dynamic_slice_in_dim(base, t % 64, w, axis=2)
-            st, out = step(st, frame, dyn)
-            return st, jnp.sum(out[:, ::64, ::64].astype(jnp.int32))
-
-        state, sums = jax.lax.scan(body, state, jnp.arange(n))
-        return state, jnp.sum(sums)
-
-    # Warmup/compile with the SAME static n as the timed run (one executable).
-    t0 = time.monotonic()
-    state, chk = run_n(state, dyn, args.steps)
-    warm = int(chk)
-    compile_s = time.monotonic() - t0
-    # Scalar round-trip time: compile the probe first, then measure its 2nd call.
-    rtt_fn = jax.jit(lambda x: x + 1.0)
-    float(rtt_fn(jnp.float32(0.0)))
-    t0 = time.monotonic()
-    _ = float(rtt_fn(jnp.float32(1.0)))
-    rtt = time.monotonic() - t0
-
-    t0 = time.monotonic()
-    state, chk = run_n(state, dyn, args.steps)
-    final = int(chk)
-    dt = max(1e-9, time.monotonic() - t0 - rtt)
-    fps = args.steps / dt
-
-    metric = f"{args.mode}_{name_res}_fps_per_chip"
     print(json.dumps({
         "metric": metric,
-        "value": round(fps, 2),
+        "value": round(r["fps"], 2),
         "unit": "fps",
-        "vs_baseline": round(fps / 60.0, 3),
+        "vs_baseline": round(r["fps"] / 60.0, 3),
     }))
     print(f"# device={jax.devices()[0].device_kind} levels={levels} "
-          f"compile+warm={compile_s:.1f}s rtt={rtt*1e3:.0f}ms "
-          f"steady={dt/args.steps*1e3:.1f}ms/frame checksums=({warm},{final})",
+          f"compile+warm={r['compile_s']:.1f}s rtt={r['rtt_s']*1e3:.0f}ms "
+          f"steady={r['ms_per_frame']:.1f}ms/frame checksums={r['checksums']}",
           file=sys.stderr)
     return 0
 

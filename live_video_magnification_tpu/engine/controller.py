@@ -51,10 +51,26 @@ POOL_CAPACITY = 12
 QUEUE_CAPACITY = 2
 
 
+def _make_transport():
+    """Python transport by default; the native C arena/queue behind
+    LVMT_NATIVE=1 (same APIs — engine/native.py adapters). Falls back to
+    Python when the library can't be built/loaded."""
+    import os
+
+    if os.environ.get("LVMT_NATIVE") == "1":
+        from live_video_magnification_tpu.engine import native
+
+        if native.available():
+            max_bytes = int(os.environ.get("LVMT_NATIVE_MAX_FRAME",
+                                           native.DEFAULT_MAX_FRAME_BYTES))
+            pool = native.NativeFramePoolAdapter(POOL_CAPACITY, max_bytes)
+            return pool, native.NativeQueueAdapter(QUEUE_CAPACITY, pool)
+    return FramePool(POOL_CAPACITY), BoundedQueue(QUEUE_CAPACITY)
+
+
 class PlaybackController:
     def __init__(self):
-        self._pool = FramePool(POOL_CAPACITY)
-        self._queue = BoundedQueue(QUEUE_CAPACITY)
+        self._pool, self._queue = _make_transport()
         self.mailbox = LatestFrameMailbox()
         self._instr = Instrumentation()
         self._config: AtomicConfig[ProcessorConfig] = AtomicConfig(ProcessorConfig())

@@ -197,6 +197,109 @@ class NativeMailbox:
             pass
 
 
+# ---------------------------------------------------------------- engine adapters
+
+# Default arena slot: a 4K BGR frame (largest supported stream).
+DEFAULT_MAX_FRAME_BYTES = 2160 * 3840 * 3
+
+
+class NativeFramePoolAdapter:
+    """Drop-in for engine.pool.FramePool backed by the C arena: acquire blocks
+    GIL-released in C, buffers are zero-copy numpy views of arena slots, and
+    the Frame release hook returns the slot. Enabled via LVMT_NATIVE=1 in
+    PlaybackController."""
+
+    def __init__(self, capacity: int = 12, max_frame_bytes: int = DEFAULT_MAX_FRAME_BYTES):
+        self._native = NativeFramePool(capacity, max_frame_bytes)
+        self._max_bytes = max_frame_bytes
+
+    def acquire(self, h: int, w: int, channels: int):
+        from live_video_magnification_tpu.engine.frame import Frame, PixelFormat
+
+        shape = (h, w, channels) if channels > 1 else (h, w)
+        nbytes = int(np.prod(shape))
+        if nbytes > self._max_bytes:
+            raise RuntimeError(
+                f"frame {shape} exceeds the native arena slot ({self._max_bytes} B); "
+                "raise LVMT_NATIVE_MAX_FRAME or disable LVMT_NATIVE"
+            )
+        idx = self._native.acquire()
+        if idx is None:
+            return None
+        frame = Frame(data=self._native.buffer(idx, shape), width=w, height=h,
+                      format=PixelFormat.BGR8 if channels >= 3 else PixelFormat.GRAY8)
+        frame._buffer_index = idx
+        frame._release = lambda i=idx: self._native.release(i)
+        return frame
+
+    def stop(self) -> None:
+        self._native.stop()
+
+    def reset(self) -> None:
+        self._native.reset()
+
+
+class NativeQueueAdapter:
+    """Drop-in for engine.queue.BoundedQueue carrying pooled Frames: metadata
+    crosses the C queue as FrameMeta (the pixel data never moves — it stays in
+    the shared arena); DROP evictions recycle slots into the pool C-side."""
+
+    def __init__(self, capacity: int, pool: NativeFramePoolAdapter):
+        self._pool = pool
+        self._native = NativeQueue(capacity, drop_policy=False, pool=pool._native)
+
+    def set_policy(self, policy) -> None:
+        from live_video_magnification_tpu.engine.queue import OverflowPolicy
+
+        self._native.set_policy(policy is OverflowPolicy.DROP)
+
+    def push(self, frame) -> bool:
+        idx = getattr(frame, "_buffer_index", None)
+        assert idx is not None, "native queue carries only native-pool frames"
+        meta = FrameMeta(
+            seq=frame.seq, pts_us=frame.pts_us, capture_ts=frame.capture_ts,
+            width=frame.width, height=frame.height, channels=frame.channels,
+            buffer_index=idx,
+        )
+        # Ownership of the slot moves into the C queue (push, drop-recycle, or
+        # reset all handle it there); neuter the Python wrapper's hook.
+        frame._release = None
+        return self._native.push(meta)
+
+    def pop(self, timeout: Optional[float] = None):
+        from live_video_magnification_tpu.engine.frame import Frame, PixelFormat
+
+        meta = self._native.pop(-1.0 if timeout is None else timeout * 1e3)
+        if meta is None:
+            return None
+        c = int(meta.channels)
+        shape = (meta.height, meta.width, c) if c > 1 else (meta.height, meta.width)
+        idx = int(meta.buffer_index)
+        frame = Frame(
+            seq=int(meta.seq), pts_us=int(meta.pts_us),
+            capture_ts=float(meta.capture_ts), width=int(meta.width),
+            height=int(meta.height),
+            format=PixelFormat.BGR8 if c >= 3 else PixelFormat.GRAY8,
+            data=self._pool._native.buffer(idx, shape),
+        )
+        frame._buffer_index = idx
+        frame._release = lambda i=idx: self._pool._native.release(i)
+        return frame
+
+    def stop(self) -> None:
+        self._native.stop()
+
+    def reset(self) -> None:
+        self._native.reset()
+
+    @property
+    def drops(self) -> int:
+        return self._native.drops
+
+    def depth(self) -> int:
+        return self._native.depth()
+
+
 CAPTURED, PROCESSED, DISPLAYED, DISPLAY_SKIPPED, READ_ERRORS, PROC_ERRORS = range(6)
 
 

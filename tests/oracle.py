@@ -348,6 +348,81 @@ def psnr_u8(a, b):
     return 99.0 if mse == 0 else 10 * math.log10(255.0**2 / mse)
 
 
+def realistic_clip(t, h, w, fps=30.0, seed=0):
+    """Higher-fidelity synthetic footage for full-chain PSNR tests: multi-scale
+    texture with SUBPIXEL global motion at two frequencies, a locally pulsing
+    region (the "pulse under skin" use case), and a weak global brightness
+    oscillation — the signal classes all three magnification modes target."""
+    rng = np.random.default_rng(seed)
+    coarse = cv2.GaussianBlur(rng.random((h * 2, w * 2, 3)).astype(np.float32), (0, 0), 8.0)
+    fine = cv2.GaussianBlur(rng.random((h * 2, w * 2, 3)).astype(np.float32), (0, 0), 1.5)
+    yy, xx = np.mgrid[0 : h * 2, 0 : w * 2].astype(np.float32)
+    grad = (0.15 * xx / (w * 2) + 0.1 * yy / (h * 2))[..., None]
+    base = 0.25 + 0.45 * (0.6 * coarse + 0.4 * fine) + grad
+    # locally pulsing blob (radius ~ h/6) near the center
+    cy, cx = h, w
+    blob = np.exp(-(((yy - cy) / (h / 3.0)) ** 2 + ((xx - cx) / (w / 3.0)) ** 2))[..., None]
+    frames = []
+    for i in range(t):
+        ph = 2 * math.pi * i / fps
+        dx = 0.8 * math.sin(1.3 * ph) + 0.4 * math.sin(2.7 * ph)   # subpixel
+        dy = 0.6 * math.cos(1.3 * ph) + 0.3 * math.sin(3.1 * ph)
+        m = np.float32([[1, 0, dx], [0, 1, dy]])
+        shifted = cv2.warpAffine(base, m, (w * 2, h * 2), flags=cv2.INTER_LINEAR)
+        pulse_local = 1.0 + 0.015 * math.sin(1.0 * ph) * blob      # ~1.0/2pi-scaled Hz
+        pulse_global = 1.0 + 0.008 * math.sin(1.2 * ph)
+        img = shifted * pulse_local * pulse_global
+        crop = img[h // 2 : h // 2 + h, w // 2 : w // 2 + w]
+        frames.append(np.clip(crop * 255.0, 0, 255).astype(np.uint8))
+    return frames
+
+
+class ChainOracle:
+    """The FULL reference chain (ChainBuilder.cpp:11-29): PreprocessProcessor
+    (normalized ROI crop, clamped, >=1px + INTER_AREA downscale,
+    PreprocessProcessor.cpp:10-51) -> GrayscaleProcessor -> mode oracle, with
+    the level clamp of MagnificationProcessor.cpp:31-34."""
+
+    def __init__(self, mode, **params):
+        self.mode = mode
+        self.params = params
+        self._inner = {"laplace": MotionOracle, "color": ColorOracle,
+                       "phase": RieszOracle}[mode]()
+
+    def preprocess(self, frame, roi=None, downscale=1):
+        h, w = frame.shape[:2]
+        x, y, cw, ch = 0, 0, w, h
+        if roi is not None:
+            rx, ry, rw, rh = roi
+            x = min(max(int(round(rx * w)), 0), w - 1)
+            y = min(max(int(round(ry * h)), 0), h - 1)
+            cw = min(max(int(round(rw * w)), 1), w - x)
+            ch = min(max(int(round(rh * h)), 1), h - y)
+        out = frame[y : y + ch, x : x + cw]
+        d = min(max(downscale, 1), 8)
+        if d > 1:
+            out = cv2.resize(out, (max(1, cw // d), max(1, ch // d)),
+                             interpolation=cv2.INTER_AREA)
+        return out
+
+    def step(self, frame, roi=None, downscale=1, grayscale=False):
+        pre = self.preprocess(frame, roi, downscale)
+        magin = cv2.cvtColor(pre, cv2.COLOR_BGR2GRAY) if grayscale else pre
+        p = dict(self.params)
+        oh, ow = magin.shape[:2]
+        p["levels"] = min(max(p["levels"], 1), max(calculate_max_levels(oh, ow), 1))
+        if self.mode == "laplace":
+            out = self._inner.step(magin, p["amplification"], p["co_wavelength"],
+                                   p["co_low"], p["co_high"], p["chrom"], p["levels"])
+        elif self.mode == "color":
+            out = self._inner.step(magin, p["amplification"], p["lo"], p["hi"],
+                                   p["levels"], p["fps"])
+        else:
+            out = self._inner.step(magin, p["amplification"], p["co_wavelength"],
+                                   p["lo"], p["hi"], p["levels"], p["fps"])
+        return out, pre
+
+
 def synthetic_clip(t, h, w, color=True, seed=0):
     """Translating texture + pulsing brightness: exercises motion AND color bands."""
     rng = np.random.default_rng(seed)
