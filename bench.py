@@ -169,20 +169,23 @@ def bench_sharded_step(h: int, w: int, levels: int, steps: int,
     )
 
     mesh = make_mesh((1, 1), ("batch", "tile"), devices=jax.devices()[:1])
-    step, state = build_sharded_riesz_step(mesh, 1, h, w, levels)
+    # repeat_steps: ONE dispatch scans `steps` sharded steps (same timing
+    # protocol as bench_mode_scan — per-call dispatch through the relay would
+    # measure queueing, not compute).
+    step, state = build_sharded_riesz_step(mesh, 1, h, w, levels,
+                                           repeat_steps=steps)
     _, dyn, _, _ = _mode_setup("phase", h, w, levels, fps_cfg)
     rng = np.random.default_rng(0)
     frame = jnp.asarray(rng.integers(0, 255, (1, 3, h, w), dtype=np.uint8))
 
     t0 = time.monotonic()
-    state, out = step(state, frame, dyn)
-    warm = int(jnp.sum(out[:, :, ::64, ::64].astype(jnp.int32)))
+    state, chk = step(state, frame, dyn)
+    warm = int(chk)
     compile_s = time.monotonic() - t0
     rtt = _rtt()
     t0 = time.monotonic()
-    for _ in range(steps):
-        state, out = step(state, frame, dyn)
-    final = int(jnp.sum(out[:, :, ::64, ::64].astype(jnp.int32)))
+    state, chk = step(state, frame, dyn)
+    final = int(chk)
     dt = max(1e-9, time.monotonic() - t0 - rtt)
     return {
         "fps": steps / dt, "compile_s": compile_s, "rtt_s": rtt,

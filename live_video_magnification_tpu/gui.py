@@ -392,23 +392,38 @@ class MainWindow:
         mode_box.bind("<<ComboboxSelected>>", lambda e: self.on_mode_change())
         row += 1
 
-        def slider(text, frm, to, init, step=1.0):
+        # Each parameter row keeps its widgets so per-mode visibility can hide
+        # whole rows (MagnificationControls row-visibility semantics) and a
+        # readout label shows the live value (+BPM for the Hz band, the
+        # reference's dual-handle band readout).
+        self._rows = {}
+
+        def slider(key, text, frm, to, init, fmt=lambda v: f"{v:.0f}"):
             nonlocal row
-            ttk.Label(panel, text=text).grid(row=row, column=0, sticky="w")
+            lbl = ttk.Label(panel, text=text)
+            lbl.grid(row=row, column=0, sticky="w")
             var = tk.DoubleVar(value=init)
-            s = ttk.Scale(panel, from_=frm, to=to, variable=var,
-                          command=lambda e: self.push_params())
+            readout = ttk.Label(panel, text=fmt(init), width=14)
+
+            def on_move(_e, v=None):
+                readout.configure(text=fmt(var.get()))
+                self.push_params()
+
+            s = ttk.Scale(panel, from_=frm, to=to, variable=var, command=on_move)
             s.grid(row=row, column=1, sticky="ew")
+            readout.grid(row=row, column=2, sticky="w")
+            self._rows[key] = (lbl, s, readout, fmt, var)
             row += 1
             return var
 
-        self.amp_var = slider("Amplification", 0, 200, 20)
-        self.wave_var = slider("Wavelength %", 0, 100, 50)
-        self.low_var = slider("Band low (Hz)", 0.05, 15, 1.0)
-        self.high_var = slider("Band high (Hz)", 0.05, 15, 5.0)
-        self.chroma_var = slider("Chroma %", 0, 100, 0)
-        self.levels_var = slider("Levels", 1, 8, 4)
-        self.fps_var = slider("Capture FPS", 1, 120, 30)
+        hz_fmt = lambda v: f"{v:.2f} Hz ({v * 60:.0f} BPM)"
+        self.amp_var = slider("amp", "Amplification", 0, 200, 20)
+        self.wave_var = slider("wave", "Wavelength %", 0, 100, 50)
+        self.low_var = slider("low", "Band low", 0.05, 15, 1.0, hz_fmt)
+        self.high_var = slider("high", "Band high", 0.05, 15, 5.0, hz_fmt)
+        self.chroma_var = slider("chroma", "Chroma %", 0, 100, 0)
+        self.levels_var = slider("levels", "Levels", 1, 8, 4)
+        self.fps_var = slider("fps", "Capture FPS", 1, 120, 30)
 
         self.gray_var = tk.BooleanVar(value=False)
         ttk.Checkbutton(panel, text="Grayscale", variable=self.gray_var,
@@ -426,12 +441,34 @@ class MainWindow:
         row += 1
         ttk.Button(panel, text="Reset ROI", command=self.controller.reset_roi).grid(
             row=row, column=0, columnspan=2, sticky="ew")
+        self._update_row_visibility()
 
     def _mode(self) -> MagnificationMode:
         for name, mode in _MODES:
             if name == self.mode_var.get():
                 return mode
         return MagnificationMode.LAPLACE
+
+    # Which parameter rows each mode exposes (MagnificationControls per-mode
+    # row visibility: Color has no wavelength/chroma; Phase has no chroma).
+    _MODE_ROWS = {
+        MagnificationMode.LAPLACE: {"amp", "wave", "low", "high", "chroma",
+                                    "levels", "fps"},
+        MagnificationMode.PHASE: {"amp", "wave", "low", "high", "levels", "fps"},
+        MagnificationMode.COLOR: {"amp", "low", "high", "levels", "fps"},
+    }
+
+    def _update_row_visibility(self):
+        visible = self._MODE_ROWS[self._mode()]
+        for key, (lbl, scale, readout, _fmt, _var) in self._rows.items():
+            if key in visible:
+                lbl.grid()
+                scale.grid()
+                readout.grid()
+            else:
+                lbl.grid_remove()
+                scale.grid_remove()
+                readout.grid_remove()
 
     def on_mode_change(self):
         ui = defaults_for(self._mode())
@@ -441,6 +478,9 @@ class MainWindow:
         self.high_var.set(ui.high)
         self.chroma_var.set(ui.chroma)
         self.levels_var.set(ui.levels)
+        for _lbl, _s, readout, fmt, var in self._rows.values():
+            readout.configure(text=fmt(var.get()))
+        self._update_row_visibility()
         self.push_params()
 
     def push_params(self):

@@ -67,6 +67,116 @@ def sharded_correlate2d(x_local: jnp.ndarray, kernel, axis_name: str) -> jnp.nda
     return acc
 
 
+# --------------------------------------------------------------- Pallas RDMA ring
+
+_collective_counter = [0]
+
+
+def _next_collective_id() -> int:
+    _collective_counter[0] = (_collective_counter[0] + 1) % 32
+    return _collective_counter[0]
+
+
+def halo_exchange_cols_rdma(
+    x_local, halo: int, axis_name: str, *,
+    right_mode: str = "reflect", interpret: bool = False,
+):
+    """Column halo exchange via a Pallas make_async_remote_copy ring.
+
+    The explicit-DMA alternative to lax.ppermute (the seam named in this
+    module's round-1 docstring; SNIPPETS.md [1] pattern): each device RDMAs its
+    edge strips directly into the neighbors' VMEM receive slots over ICI,
+    with a neighbor barrier (skipped in interpret mode, where
+    get_barrier_semaphore has no lowering) and per-call collective ids. The
+    payoff over ppermute is scheduling control: the copy can overlap interior
+    compute instead of being placed by XLA.
+
+    x_local: [..., w_local] shard. Returns [..., w_local + 2*halo], with
+    reflect-101 (or symmetric-right for the zero-injection quirk) at the
+    global edges — identical semantics to
+    parallel.riesz_sharded.halo_exchange_cols.
+
+    Device addressing: compiled kernels use DeviceIdType.MESH with a
+    {tile_axis: neighbor} dict (other mesh axes default to this device's own
+    coordinate, so a batch axis composes for free). Interpret mode uses
+    LOGICAL scalar ids — JAX's interpret-path dma_start only supports ONE
+    named axis, so interpret tests must shard_map over the tile axis alone.
+    """
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lead = x_local.shape[:-1]
+    wl = x_local.shape[-1]
+    rows = int(np.prod(lead)) if lead else 1
+    x2 = x_local.reshape(rows, wl)
+
+    def kernel(x_ref, left_out, right_out, recv, send_sem, recv_sem, *, barrier):
+        n = lax.axis_size(axis_name)
+        me = lax.axis_index(axis_name)
+        left = lax.rem(me - 1 + n, n)
+        right = lax.rem(me + 1, n)
+        if interpret:
+            id_type = pltpu.DeviceIdType.LOGICAL
+            left_id, right_id = left, right
+        else:
+            id_type = pltpu.DeviceIdType.MESH
+            left_id = {axis_name: left}
+            right_id = {axis_name: right}
+        if barrier:
+            bar = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(bar, inc=1, device_id=left_id,
+                                   device_id_type=id_type)
+            pltpu.semaphore_signal(bar, inc=1, device_id=right_id,
+                                   device_id_type=id_type)
+            pltpu.semaphore_wait(bar, 2)
+        # my right edge -> right neighbor's "from-left" slot; my left edge ->
+        # left neighbor's "from-right" slot. SPMD symmetry pairs the recv
+        # semaphores: wait() blocks on both my send and my matching recv.
+        r1 = pltpu.make_async_remote_copy(
+            src_ref=x_ref.at[:, pl.ds(wl - halo, halo)],
+            dst_ref=recv.at[0], send_sem=send_sem.at[0], recv_sem=recv_sem.at[0],
+            device_id=right_id, device_id_type=id_type)
+        r2 = pltpu.make_async_remote_copy(
+            src_ref=x_ref.at[:, pl.ds(0, halo)],
+            dst_ref=recv.at[1], send_sem=send_sem.at[1], recv_sem=recv_sem.at[1],
+            device_id=left_id, device_id_type=id_type)
+        r1.start()
+        r2.start()
+        r1.wait()
+        r2.wait()
+        left_out[...] = recv[0]
+        right_out[...] = recv[1]
+
+    from_left, from_right = pl.pallas_call(
+        functools.partial(kernel, barrier=not interpret),
+        out_shape=(jax.ShapeDtypeStruct((rows, halo), x2.dtype),
+                   jax.ShapeDtypeStruct((rows, halo), x2.dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((2, rows, halo), x2.dtype),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(collective_id=_next_collective_id()),
+        interpret=interpret,
+    )(x2)
+
+    from_left = from_left.reshape(lead + (halo,))
+    from_right = from_right.reshape(lead + (halo,))
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    reflect_l = jnp.flip(x_local[..., 1 : halo + 1], axis=-1)
+    if right_mode == "symmetric":
+        reflect_r = jnp.flip(x_local[..., -halo:], axis=-1)
+    else:
+        reflect_r = jnp.flip(x_local[..., -halo - 1 : -1], axis=-1)
+    left = jnp.where(idx == 0, reflect_l, from_left)
+    right = jnp.where(idx == n - 1, reflect_r, from_right)
+    return jnp.concatenate([left, x_local, right], axis=-1)
+
+
 def make_sharded_conv(mesh, axis_name: str, kernel):
     """jit-ready f(x[H, W]) running the conv row-sharded over `axis_name`."""
     from jax.sharding import PartitionSpec as P

@@ -151,9 +151,25 @@ class _Ops:
     — CPU equivalence tests of the exact kernel code).
     """
 
-    def __init__(self, mode: str):
+    def __init__(self, mode: str, halo_impl: str = "ppermute"):
         assert mode in ("jnp", "pallas", "interpret")
+        assert halo_impl in ("ppermute", "rdma")
         self.mode = mode
+        self.halo_impl = halo_impl
+
+    def exchange(self, x, halo, axis_name, right_mode: str = "reflect"):
+        """Column halo exchange: XLA collective-permute by default, or the
+        explicit Pallas make_async_remote_copy ring (halo_impl='rdma' —
+        parallel/halo.py)."""
+        if self.halo_impl == "rdma" and self.mode != "jnp":
+            from live_video_magnification_tpu.parallel.halo import (
+                halo_exchange_cols_rdma,
+            )
+
+            return halo_exchange_cols_rdma(
+                x, halo, axis_name, right_mode=right_mode, interpret=self._interp,
+            )
+        return halo_exchange_cols(x, halo, axis_name, right_mode=right_mode)
 
     def _pallas_ok(self, h: int, w: int) -> bool:
         if self.mode == "jnp":
@@ -227,13 +243,13 @@ class _Ops:
 
 def _sharded_conv9(ops: _Ops, x_local, k9, axis_name):
     w_local = x_local.shape[-1]
-    xh = halo_exchange_cols(x_local, _CONV9_HALO, axis_name)
+    xh = ops.exchange(x_local, _CONV9_HALO, axis_name)
     return ops.conv9(xh, k9)[:, _CONV9_HALO : _CONV9_HALO + w_local]
 
 
 def _sharded_band5(ops: _Ops, hp_local, axis_name):
     w_local = hp_local.shape[-1]
-    hph = halo_exchange_cols(hp_local, _BAND_HALO, axis_name)
+    hph = ops.exchange(hp_local, _BAND_HALO, axis_name)
     r, i = ops.band5(hph)
     return (r[:, _BAND_HALO : _BAND_HALO + w_local],
             i[:, _BAND_HALO : _BAND_HALO + w_local])
@@ -244,7 +260,7 @@ def _sharded_decimate(ops: _Ops, x_local, axis_name):
     # even-pixel decimation of the 4-halo strip == the global decimation; the
     # first two decimated columns come from the halo and are discarded.
     w_local = x_local.shape[-1]
-    xh = halo_exchange_cols(x_local, _CONV9_HALO, axis_name)
+    xh = ops.exchange(x_local, _CONV9_HALO, axis_name)
     sub = ops.lp_decimate(xh)
     return sub[:, 2 : 2 + w_local // 2]
 
@@ -253,7 +269,7 @@ def _sharded_inject(ops: _Ops, small_local, out_h, axis_name):
     # 2-col small halo -> 4 injected halo columns == exactly conv9's reach.
     # The trailing global edge pads SYMMETRIC (zero-injection parity quirk).
     sw_local = small_local.shape[-1]
-    sm = halo_exchange_cols(small_local, _BAND_HALO, axis_name, right_mode="symmetric")
+    sm = ops.exchange(small_local, _BAND_HALO, axis_name, right_mode="symmetric")
     lp = ops.lp_inject(sm, (out_h, 2 * sm.shape[-1]))
     return lp[:, 2 * _BAND_HALO : 2 * _BAND_HALO + 2 * sw_local]
 
@@ -269,7 +285,7 @@ def _sharded_tail(ops: _Ops, level_local: RieszLevel, pr, change: CompExp,
             pr.amplitude, change.cos, change.sin,
             level_local.lowpass, level_local.riesz.cos, level_local.riesz.sin,
         ])
-        sh = halo_exchange_cols(stack, _BLUR_HALO, axis_name)
+        sh = ops.exchange(stack, _BLUR_HALO, axis_name)
         out = ops.fused_tail(
             sh[0], CompExp(sh[1], sh[2]), RieszLevel(sh[3], CompExp(sh[4], sh[5])),
             alpha, threshold,
@@ -277,7 +293,7 @@ def _sharded_tail(ops: _Ops, level_local: RieszLevel, pr, change: CompExp,
         return out[:, _BLUR_HALO : _BLUR_HALO + w_local]
     # jnp fallback: haloed separable blurs, local element-wise tail.
     stack = jnp.stack([pr.amplitude, change.cos * pr.amplitude, change.sin * pr.amplitude])
-    sh = halo_exchange_cols(stack, _BLUR_HALO, axis_name)
+    sh = ops.exchange(stack, _BLUR_HALO, axis_name)
     blurred = amplitude_blur(sh)
     sl = lambda x: x[:, _BLUR_HALO : _BLUR_HALO + w_local]
     amp_blur = sl(blurred[0])
@@ -417,23 +433,18 @@ def _riesz_step_local(
 # --------------------------------------------------------------------------- specs + builder
 
 
-def _level_spec(plan: RieszShardPlan, l: int, batched: bool) -> P:
-    tile = "tile" if plan.sharded[l] else None
-    return P("batch", None, tile) if batched else P(None, tile)
-
-
-def state_specs(plan: RieszShardPlan, batched: bool = True) -> RieszState:
-    """PartitionSpec pytree matching a (batched) RieszState for this plan."""
+def state_specs(plan: RieszShardPlan, batch_axis: str | None = "batch") -> RieszState:
+    """PartitionSpec pytree matching a batched RieszState for this plan.
+    batch_axis=None builds specs for a tile-only mesh (batch replicated)."""
     levels = plan.levels
-    lv = lambda l: _level_spec(plan, l, batched)
+    lv = lambda l: P(batch_axis, None, "tile" if plan.sharded[l] else None)
     old = tuple(RieszLevel(lv(l), CompExp(lv(l), lv(l))) for l in range(levels))
     fl = lambda l: FilterLevelState(
         CompExp(lv(l), lv(l)), CompExp(lv(l), lv(l)), CompExp(lv(l), lv(l))
     )
     lo = tuple(fl(l) for l in range(levels - 1))
     hi = tuple(fl(l) for l in range(levels - 1))
-    count = P("batch") if batched else P()
-    return RieszState(count, old, lo, hi)
+    return RieszState(P(batch_axis), old, lo, hi)
 
 
 def default_kernel_mode() -> str:
@@ -447,6 +458,8 @@ def build_sharded_riesz_step(
     w: int,
     levels: int,
     kernels: str | None = None,
+    halo_impl: str = "ppermute",
+    repeat_steps: int = 0,
 ):
     """(jitted_step, sharded_init_state) for the explicit Pallas+halo phase step.
 
@@ -454,19 +467,24 @@ def build_sharded_riesz_step(
     B shards over 'batch', W over 'tile'. Requires make_plan(...).sharded[0]
     (callers fall back to the GSPMD jnp path otherwise — see
     parallel/sharding.py).
+
+    repeat_steps > 0 is the benchmark form: one dispatch scans that many steps
+    over the same frame and returns (state, checksum scalar) instead of the
+    output frame.
     """
     n = mesh.shape["tile"]
-    nb = mesh.shape["batch"]
+    batch_axis = "batch" if "batch" in mesh.axis_names else None
+    nb = mesh.shape.get("batch", 1)
     assert batch % nb == 0, f"batch {batch} not divisible by batch axis {nb}"
     plan = make_plan(h, w, levels, n)
     if not plan.sharded[0]:
         raise ValueError(
             f"W={w} cannot be lane-sharded {n}-way at level 0; use the GSPMD path"
         )
-    ops = _Ops(kernels or default_kernel_mode())
+    ops = _Ops(kernels or default_kernel_mode(), halo_impl=halo_impl)
 
-    frame_spec = P("batch", None, None, "tile")
-    st_specs = state_specs(plan)
+    frame_spec = P(batch_axis, None, None, "tile")
+    st_specs = state_specs(plan, batch_axis)
     dyn_spec = jax.tree.map(lambda _: P(), RieszDynParams(*([0.0] * 8)))
 
     def local_fn(state, frames, dyn):
@@ -482,11 +500,26 @@ def build_sharded_riesz_step(
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *sts)
         return stacked, jnp.stack(outs)
 
+    if repeat_steps:
+        # Benchmark form: one dispatch scans `repeat_steps` sharded steps over
+        # the same frame (timing protocol of bench.py — the relay returns at
+        # dispatch time, so per-call timing would measure queueing).
+        inner = local_fn
+
+        def local_fn(state, frames, dyn):  # noqa: F811
+            def body(st, _):
+                st, out = inner(st, frames, dyn)
+                return st, jnp.sum(out[:, :, ::64, ::64].astype(jnp.int32))
+
+            state, sums = lax.scan(body, state, jnp.arange(repeat_steps))
+            return state, jnp.sum(sums)
+
+    out_specs = (st_specs, P() if repeat_steps else frame_spec)
     sharded_fn = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(st_specs, frame_spec, dyn_spec),
-        out_specs=(st_specs, frame_spec),
+        out_specs=out_specs,
         check_vma=False,
     )
 
@@ -497,7 +530,9 @@ def build_sharded_riesz_step(
     jitted = jax.jit(
         sharded_fn,
         in_shardings=(shardings, NamedSharding(mesh, frame_spec), None),
-        out_shardings=(shardings, NamedSharding(mesh, frame_spec)),
+        out_shardings=(shardings,
+                       NamedSharding(mesh, P()) if repeat_steps
+                       else NamedSharding(mesh, frame_spec)),
         donate_argnums=(0,),
     )
     return jitted, state_sharded
