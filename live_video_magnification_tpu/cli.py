@@ -85,29 +85,76 @@ def cmd_info(args) -> int:
 
 
 def cmd_magnify(args) -> int:
+    """Streaming offline export: decode -> device chunk -> encode at constant
+    host memory (a long 4K clip never materializes in RAM)."""
+    import os
+
     import numpy as np
 
-    from live_video_magnification_tpu.export.batch import export_frames
-    from live_video_magnification_tpu.io.video import read_video, write_video
+    from live_video_magnification_tpu.export.batch import ClipProcessor
+    from live_video_magnification_tpu.io.video import (
+        VideoWriterStream,
+        iter_video,
+        video_info,
+    )
 
-    frames_hwc, fps = read_video(args.input, args.start, args.end)
+    total, h, w, fps = video_info(args.input)
+    probe = next(iter_video(args.input, args.start, args.start + 1), None)
+    if probe is None:
+        print("no frames decoded", file=sys.stderr)
+        return 1
+    channels = 1 if probe.ndim == 2 else probe.shape[2]
+    h, w = probe.shape[0], probe.shape[1]
     cfg = _config_from_args(args, fps)
-    tchw = np.ascontiguousarray(np.moveaxis(frames_hwc, -1, 1))
-    outs = []
+
+    proc = ClipProcessor(cfg, h, w, channels, time_parallel=args.time_parallel)
+    start = args.start
+    if args.checkpoint and os.path.exists(args.checkpoint + ".npz"):
+        try:
+            start = args.start + proc.load_checkpoint(args.checkpoint)
+            print(f"resuming at frame {start}", file=sys.stderr)
+        except ValueError as e:
+            print(f"error: {e}\n(delete {args.checkpoint}.npz or pass a "
+                  "different --checkpoint path to start fresh)", file=sys.stderr)
+            return 1
+
+    end = args.end if args.end is not None else (total or None)
+    goal = (end - args.start) if end is not None else None
+    writer = VideoWriterStream(args.output, args.file_fps or fps)
     t0 = time.monotonic()
-    for processed, _original in export_frames(
-        tchw, cfg, chunk_size=args.chunk,
-        checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
-        time_parallel=args.time_parallel,
-    ):
-        outs.append(np.moveaxis(processed, 1, -1))
-        done = sum(o.shape[0] for o in outs)
-        print(f"\r{done}/{tchw.shape[0]} frames", end="", file=sys.stderr)
+
+    def flush(buf):
+        processed, _original = proc.process_chunk(
+            np.ascontiguousarray(np.moveaxis(np.stack(buf), -1, 1))
+        )
+        writer.write_chunk(np.moveaxis(processed, 1, -1))
+        done = proc.cursor
+        print(f"\r{done}/{goal if goal is not None else '?'} frames",
+              end="", file=sys.stderr)
+        if args.checkpoint and args.checkpoint_every and (
+            done % args.checkpoint_every
+        ) < args.chunk:
+            proc.save_checkpoint(args.checkpoint)
+
+    buf = []
+    for frame in iter_video(args.input, start, end):
+        buf.append(frame if frame.ndim == 3 else frame[..., None])
+        if len(buf) == args.chunk:
+            flush(buf)
+            buf = []
+    if buf:
+        flush(buf)
     dt = time.monotonic() - t0
-    out = np.concatenate(outs)
-    path = write_video(args.output, np.ascontiguousarray(out), args.file_fps or fps)
-    print(f"\nwrote {out.shape[0]} frames to {path} "
-          f"({out.shape[0]/dt:.1f} fps processing)", file=sys.stderr)
+    path = writer.close()
+    if writer.frames_written == 0:
+        if start > args.start:
+            print("\nnothing to do: checkpoint cursor is at/past the end "
+                  "(export already complete)", file=sys.stderr)
+            return 0
+        print("\nnothing exported (empty range)", file=sys.stderr)
+        return 1
+    print(f"\nwrote {writer.frames_written} frames to {path} "
+          f"({writer.frames_written/dt:.1f} fps processing)", file=sys.stderr)
     return 0
 
 

@@ -57,6 +57,50 @@ def read_video(path: str, start: int = 0, end: Optional[int] = None) -> Tuple[np
     return np.stack(frames), fps
 
 
+class VideoWriterStream:
+    """Incremental writer for chunked export: lazily opens on the first frame
+    (output dims are only known post-preprocess), falls back to MJPG .avi like
+    the reference's codec chain (Exporter.cpp:92-118)."""
+
+    def __init__(self, path: str, fps: float, fourcc: str = "mp4v"):
+        self._path = path
+        self._fps = fps
+        self._fourcc = fourcc
+        self._writer = None
+        self.frames_written = 0
+
+    def _open(self, h: int, w: int, color: bool) -> None:
+        import cv2
+
+        def try_open(p, fc):
+            wtr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*fc), self._fps,
+                                  (w, h), color)
+            return wtr if wtr.isOpened() else None
+
+        self._writer = try_open(self._path, self._fourcc)
+        if self._writer is None:
+            self._path = self._path.rsplit(".", 1)[0] + ".avi"
+            self._writer = try_open(self._path, "MJPG")
+        if self._writer is None:
+            raise IOError("no usable video writer")
+
+    def write_chunk(self, frames_thwc: np.ndarray) -> None:
+        """frames: [T, H, W, C] or [T, H, W] u8."""
+        if self._writer is None:
+            h, w = frames_thwc.shape[1], frames_thwc.shape[2]
+            color = frames_thwc.ndim == 4 and frames_thwc.shape[3] == 3
+            self._open(h, w, color)
+        for i in range(frames_thwc.shape[0]):
+            self._writer.write(np.ascontiguousarray(frames_thwc[i]))
+        self.frames_written += frames_thwc.shape[0]
+
+    def close(self) -> str:
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
+        return self._path
+
+
 def write_video(path: str, frames: np.ndarray, fps: float, fourcc: str = "mp4v") -> str:
     """Write [T, H, W, C] or [T, H, W] u8 frames; falls back to MJPG .avi.
 

@@ -48,6 +48,17 @@ _TILE_S = 64        # inject-kernel small rows per grid step (=> 128 out rows)
 MIN_MXU_DIM = 96    # below this the VPU/XLA slices path wins
 
 
+def _mxu_precision():
+    """Matmul pass decomposition for the banded stencils, LVMT_MXU_PRECISION:
+    'highest' (6-pass f32, bit-conservative default), 'high' (bf16x3 — ~2x the
+    MXU rate at near-f32 accuracy for this tap/value range), 'default'
+    (1-pass bf16 — fastest; measure PSNR before shipping)."""
+    import os
+
+    name = os.environ.get("LVMT_MXU_PRECISION", "highest").upper()
+    return getattr(jax.lax.Precision, name, jax.lax.Precision.HIGHEST)
+
+
 # --------------------------------------------------------------------------- banks
 
 
@@ -105,7 +116,7 @@ def _dense_kernel(x_hbm, bank_ref, out_ref, strip, sem, *, n_blocks: int):
         for a in range(9):
             slab = strip[a : a + _TILE_R, j * _LANES : j * _LANES + 2 * _LANES]
             term = jnp.dot(slab, bank_ref[a], preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=_mxu_precision())
             acc = term if acc is None else acc + term
         out_ref[:, j * _LANES : (j + 1) * _LANES] = acc
 
@@ -175,13 +186,13 @@ def _inject_kernel(s_hbm, e_bank, o_bank, out_ref, strip, sem, *, n_blocks: int)
         for ai in range(5):  # a = 0,2,4,6,8 -> small rows y' + a/2
             slab = strip[ai : ai + _TILE_S, slab_cols]
             term = jnp.dot(slab, e_bank[ai], preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=_mxu_precision())
             acc_e = term if acc_e is None else acc_e + term
         acc_o = None
         for ai in range(4):  # a = 1,3,5,7 -> small rows y' + (a+1)/2
             slab = strip[ai + 1 : ai + 1 + _TILE_S, slab_cols]
             term = jnp.dot(slab, o_bank[ai], preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=_mxu_precision())
             acc_o = term if acc_o is None else acc_o + term
         out_cols = slice(j * 2 * _LANES, (j + 1) * 2 * _LANES)
         out_ref[:, 0, out_cols] = acc_e
@@ -271,7 +282,7 @@ def _band_kernel(hp_hbm, r_bank, s_bank, r_ref, i_ref, strip, sem,
         slab = strip[2 : 2 + _TILE_R, cols]
         r_ref[:, j * _LANES : (j + 1) * _LANES] = jnp.dot(
             slab, r_bank[:], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_mxu_precision(),
         )
         # i: vertical 5x1 (cheap sublane shifts), then a +2-lane shift expressed
         # as a delta-band matmul (Mosaic cannot lane-rotate cheaply).
@@ -281,7 +292,7 @@ def _band_kernel(hp_hbm, r_bank, s_bank, r_ref, i_ref, strip, sem,
             acc = term if acc is None else acc + term
         i_ref[:, j * _LANES : (j + 1) * _LANES] = jnp.dot(
             acc, s_bank[:], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_mxu_precision(),
         )
 
 
@@ -374,14 +385,14 @@ def _dec_kernel(pe_hbm, po_hbm, e_bank, o_bank, out_ref, strip_e, strip_o, sems,
             term = jnp.dot(
                 strip_e[ai : ai + _TILE_R, cols], e_bank[ai],
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_mxu_precision(),
             )
             acc = term if acc is None else acc + term
         for ai in range(4):  # a = 1,3,5,7 -> odd plane rows y' + (a-1)/2
             term = jnp.dot(
                 strip_o[ai : ai + _TILE_R, cols], o_bank[ai],
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_mxu_precision(),
             )
             acc = acc + term
         out_ref[:, j * _LANES : (j + 1) * _LANES] = acc
