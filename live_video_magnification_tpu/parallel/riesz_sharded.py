@@ -222,11 +222,23 @@ class _Ops:
         return correlate2d(up, 2.0 * RIESZ_LOWPASS_9x9)
 
     def fused_tail_ok(self, h: int, w: int) -> bool:
+        # VPU kernel: its own (small) minimum applies, not the MXU threshold.
         from live_video_magnification_tpu.ops.pallas.riesz_amplify import MIN_FUSED_DIM
 
-        return self.mode != "jnp" and min(h, w) >= MIN_FUSED_DIM and (
-            self.mode == "interpret" or self._pallas_ok(h, w)
+        return self.mode != "jnp" and min(h, w) >= MIN_FUSED_DIM
+
+    def fused_build_ok(self, h: int, w: int) -> bool:
+        from live_video_magnification_tpu.ops.pallas.riesz_build import MIN_FUSED_DIM
+
+        return (self.mode != "jnp" and min(h, w) >= MIN_FUSED_DIM
+                and not self._pallas_ok(h, w))  # MXU kernels win at large dims
+
+    def fused_build(self, octave):
+        from live_video_magnification_tpu.ops.pallas.riesz_build import (
+            riesz_build_level_fused,
         )
+
+        return riesz_build_level_fused(octave, interpret=self._interp)
 
     def fused_tail(self, amplitude, change: CompExp, level: RieszLevel, alpha, threshold):
         from live_video_magnification_tpu.ops.pallas.riesz_amplify import riesz_amplify_fused
@@ -239,6 +251,18 @@ class _Ops:
 
 
 # --------------------------------------------------------------------------- sharded level ops
+
+
+def _sharded_build_level_fused(ops: _Ops, octave_local, axis_name):
+    """One exchange (halo 6 = conv 4 + band apron 2) + the fused VPU build
+    kernel on the haloed strip; interiors sliced per output reach. Used for
+    sharded levels too small for the MXU banded kernels."""
+    wl = octave_local.shape[-1]
+    xh = ops.exchange(octave_local, _BLUR_HALO, axis_name)
+    hp, r, i, sub = ops.fused_build(xh)
+    sl = lambda a: a[:, _BLUR_HALO : _BLUR_HALO + wl]
+    # sub col j' <- haloed col 2j'; strip cols start at halo 6 -> j' = 3.
+    return sl(hp), sl(r), sl(i), sub[:, 3 : 3 + wl // 2]
 
 
 def _sharded_conv9(ops: _Ops, x_local, k9, axis_name):
@@ -324,9 +348,13 @@ def _riesz_step_local(
     octave = luma  # sharded iff plan.sharded[0]
     for l in range(levels - 1):
         if plan.sharded[l]:
-            hp = _sharded_conv9(ops, octave, RIESZ_HIGHPASS_9x9, axis_name)
-            r, i = _sharded_band5(ops, hp, axis_name)
-            sub = _sharded_decimate(ops, octave, axis_name)
+            lh, lwl = octave.shape
+            if ops.fused_build_ok(lh, lwl + 2 * _BLUR_HALO):
+                hp, r, i, sub = _sharded_build_level_fused(ops, octave, axis_name)
+            else:
+                hp = _sharded_conv9(ops, octave, RIESZ_HIGHPASS_9x9, axis_name)
+                r, i = _sharded_band5(ops, hp, axis_name)
+                sub = _sharded_decimate(ops, octave, axis_name)
             if not plan.sharded[l + 1]:
                 sub = lax.all_gather(sub, axis_name, axis=1, tiled=True)
         else:

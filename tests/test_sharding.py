@@ -175,6 +175,27 @@ def test_explicit_riesz_pallas_interpret_equals_single_device():
         assert_u8_close(np.asarray(out[0]), np.asarray(o))
 
 
+def test_explicit_riesz_fused_build_path_equals_single_device(monkeypatch):
+    """Force the fused VPU build branch of the sharded step (used on TPU for
+    sub-MXU levels) by disabling the MXU gate; interpret kernels, 8-way mesh."""
+    from live_video_magnification_tpu.parallel import riesz_sharded as rs
+
+    monkeypatch.setattr(rs._Ops, "_pallas_ok", lambda self, h, w: False)
+    batch, t, h, w, levels = 1, 2, 64, 256, 2
+    mesh = make_mesh((1, 8), ("batch", "tile"))
+    frames = _frames(batch, t, h, w)
+    dyn = _riesz_dyn(levels)
+    step, state = rs.build_sharded_riesz_step(mesh, batch, h, w, levels,
+                                              kernels="interpret")
+    ref_state = riesz_mode.init_state(h, w, levels)
+    for ti in range(t):
+        ref_state, o = riesz_mode.step(
+            ref_state, jnp.asarray(frames[0, ti]), dyn, levels=levels
+        )
+        state, out = step(state, jnp.asarray(frames[:, ti]), dyn)
+        assert_u8_close(np.asarray(out[0]), np.asarray(o))
+
+
 def test_rdma_halo_exchange_matches_ppermute():
     """parallel/halo.py make_async_remote_copy ring == the ppermute exchange
     (both edge modes), interpret mode on the 8-device mesh."""
