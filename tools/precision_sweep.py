@@ -40,7 +40,7 @@ def main() -> int:
     base = jnp.asarray(rng.integers(0, 255, (3, h, w + 64), dtype=np.uint8))
 
     # --- parity: pallas path (current precision) vs jnp f32 path, on device ---
-    @jax.jit
+    @partial(jax.jit, static_argnames=("n",))
     def parity(n):
         stp = m.init_state(h, w, levels)
         stj = m.init_state(h, w, levels)
