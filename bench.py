@@ -306,13 +306,20 @@ def run_matrix(steps: int) -> list:
                 "import bench, json; "
                 f"s = bench.bench_streaming(native={native});"
                 "print(json.dumps(s))")
-        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                             text=True, env=env, timeout=300,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
-        s = json.loads(out.stdout.strip().splitlines()[-1])
+        metric = "streaming_1080p60_hostloop_fps" + ("_native" if native else "")
+        try:
+            out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                                 text=True, env=env, timeout=300,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            s = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as e:  # same containment as add(): keep the matrix
+            entry = {"metric": metric,
+                     "error": f"{type(e).__name__}: {e}"[:300]}
+            results.append(entry)
+            print(json.dumps(entry))
+            continue
         entry = {
-            "metric": "streaming_1080p60_hostloop_fps"
-                      + ("_native" if native else ""),
+            "metric": metric,
             "value": round(s["fps"], 2),
             "unit": "fps", "target": 60.0, "vs_baseline": round(s["fps"] / 60.0, 3),
             "latency_ms_p95": round(s["latency_ms_p95"], 1), "device": "cpu-host",

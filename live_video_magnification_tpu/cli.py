@@ -118,9 +118,19 @@ def cmd_magnify(args) -> int:
                   "different --checkpoint path to start fresh)", file=sys.stderr)
             return 1
 
+    out_path = args.output
+    if start > args.start and os.path.exists(args.output):
+        # cv2.VideoWriter would truncate the partial file from the interrupted
+        # run; a resumed run writes its continuation to a part file instead.
+        base, ext = os.path.splitext(args.output)
+        out_path = f"{base}.from{start}{ext}"
+        print(f"{args.output} exists — writing resumed frames to {out_path} "
+              "(concatenate the parts, e.g. with ffmpeg's concat demuxer)",
+              file=sys.stderr)
+
     end = args.end if args.end is not None else (total or None)
     goal = (end - args.start) if end is not None else None
-    writer = VideoWriterStream(args.output, args.file_fps or fps)
+    writer = VideoWriterStream(out_path, args.file_fps or fps)
     t0 = time.monotonic()
 
     def flush(buf):

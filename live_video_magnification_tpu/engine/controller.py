@@ -175,6 +175,9 @@ class PlaybackController:
         if self._source is not None:
             self._source.pause()
 
+    def is_playing(self) -> bool:
+        return self._source is not None and self._source.is_playing()
+
     def stop(self) -> None:
         """Seekable file: keep loaded, rewind; camera: full teardown (:141-153)."""
         if self._source is not None and self._source.seekable():

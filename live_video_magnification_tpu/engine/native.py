@@ -261,10 +261,15 @@ class NativeQueueAdapter:
             width=frame.width, height=frame.height, channels=frame.channels,
             buffer_index=idx,
         )
-        # Ownership of the slot moves into the C queue (push, drop-recycle, or
-        # reset all handle it there); neuter the Python wrapper's hook.
+        # On success, ownership of the slot moves into the C queue (pop,
+        # drop-recycle, and reset all handle it there). A push refused by a
+        # stopped queue leaves the slot with no owner C-side, so recycle it
+        # here (same contract the TSAN harness's producer follows).
         frame._release = None
-        return self._native.push(meta)
+        if self._native.push(meta):
+            return True
+        self._pool._native.release(idx)
+        return False
 
     def pop(self, timeout: Optional[float] = None):
         from live_video_magnification_tpu.engine.frame import Frame, PixelFormat

@@ -93,6 +93,9 @@ class ISource(abc.ABC):
     def finished(self) -> bool:
         return False
 
+    def is_playing(self) -> bool:
+        return False
+
     # camera recording hooks
     def set_record_target(self, sink: Optional[IFrameSink]) -> None:
         pass
@@ -156,6 +159,10 @@ class SourceBase(ISource):
     def finished(self) -> bool:
         with self._mutex:
             return self._finished
+
+    def is_playing(self) -> bool:
+        with self._mutex:
+            return not self._paused and not self._finished and not self._stopping
 
     def set_playback_fps(self, fps: float) -> None:
         with self._mutex:

@@ -208,11 +208,20 @@ class ExportSettingsDialog:
         path = self.path_var.get().strip()
         if path and not os.path.splitext(path)[1]:
             path += EXTENSION_FOR_FORMAT[fmt]
+        try:
+            # tk vars raise TclError on non-numeric entry text; surface it via
+            # the same error dialog as validate_request problems.
+            file_fps = float(self.fps_var.get())
+            start = int(self.start_var.get()) if self._allow_range else 0
+            end = int(self.end_var.get()) if self._allow_range else None
+        except Exception:
+            self._messagebox.showerror(
+                "Export", "fps and frame range must be numbers", parent=self.top)
+            return
         req = ExportRequest(
-            config=self._cfg, output_path=path, file_fps=float(self.fps_var.get()),
+            config=self._cfg, output_path=path, file_fps=file_fps,
             split=split, text_overlay=bool(self.labels_var.get()), format=fmt,
-            start_frame=int(self.start_var.get()) if self._allow_range else 0,
-            end_frame=int(self.end_var.get()) if self._allow_range else None,
+            start_frame=start, end_frame=end,
         )
         problems = validate_request(req, self._frame_count or None)
         if problems:
@@ -530,7 +539,8 @@ class MainWindow:
 
     def _scrub_start(self, _e):
         self._scrubbing = True
-        self._was_scrub_playing = True  # pause-resume semantics (TimelineView)
+        # pause-resume semantics (TimelineView): only resume if it was playing
+        self._was_scrub_playing = self.controller.is_playing()
         self.controller.pause()
 
     def _scrub_end(self, _e):
@@ -603,8 +613,10 @@ class MainWindow:
         from live_video_magnification_tpu.export.sources import FileExportFrameSource
 
         req = dlg.result
-        self.controller.pause()  # pause playback during export (MainWindow.cpp:567)
-        self._resume_after_export = True
+        # Pause playback during export; only resume if it was actually playing
+        # (MainWindow.cpp:567).
+        self._resume_after_export = self.controller.is_playing()
+        self.controller.pause()
         self._exporter = Exporter()
         self._exporter.start(
             FileExportFrameSource(self._file_path, req.start_frame, req.end_frame),
@@ -690,6 +702,10 @@ class MainWindow:
         from live_video_magnification_tpu.export.exporter import Exporter
         from live_video_magnification_tpu.export.sources import BufferExportFrameSource
 
+        # Pause the camera while exporting: two producers on the latest-wins
+        # mailbox (live preview + export preview) would flicker-race.
+        self._resume_after_export = self.controller.is_playing()
+        self.controller.pause()
         self._exporter = Exporter()
         self._exporter.start(BufferExportFrameSource(frames), dlg.result,
                              self.controller.mailbox)

@@ -77,9 +77,11 @@ class VideoWriterStream:
                                   (w, h), color)
             return wtr if wtr.isOpened() else None
 
+        import os
+
         self._writer = try_open(self._path, self._fourcc)
         if self._writer is None:
-            self._path = self._path.rsplit(".", 1)[0] + ".avi"
+            self._path = os.path.splitext(self._path)[0] + ".avi"
             self._writer = try_open(self._path, "MJPG")
         if self._writer is None:
             raise IOError("no usable video writer")
@@ -115,9 +117,11 @@ def write_video(path: str, frames: np.ndarray, fps: float, fourcc: str = "mp4v")
         wtr = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*fc), fps, (w, h), color)
         return wtr if wtr.isOpened() else None
 
+    import os
+
     writer = _open(path, fourcc)
     if writer is None:
-        path = path.rsplit(".", 1)[0] + ".avi"
+        path = os.path.splitext(path)[0] + ".avi"
         writer = _open(path, "MJPG")
     if writer is None:
         raise IOError("no usable video writer")

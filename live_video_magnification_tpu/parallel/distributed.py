@@ -28,6 +28,7 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from live_video_magnification_tpu.parallel.mesh import make_mesh
 
@@ -121,5 +122,9 @@ def measure_scaling_efficiency(
 
 
 def _sync(out) -> None:
+    """Device-side scalar checksum + 4-byte readback — a full-leaf device_get
+    would measure the relay's ~320 KB/s transfer path, not compute."""
     leaf = jax.tree.leaves(out)[0]
-    np.asarray(jax.device_get(leaf)).ravel()[:1]
+    s = jax.jit(lambda x: jnp.sum(x.ravel()[:: max(1, x.size // 64)]
+                                  .astype(jnp.float32)))(leaf)
+    float(s)

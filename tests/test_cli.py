@@ -98,3 +98,21 @@ def test_record_synthetic_end_to_end(tmp_path):
 def test_live_synthetic_runs(capsys):
     assert cli.main(["live", "--size", "48", "64", "--duration", "1.0",
                      "--mode", "laplace"]) == 0
+
+
+def test_magnify_resume_writes_part_file_not_truncating(clip_path, tmp_path):
+    """A resumed run must NOT truncate the partial output of the interrupted
+    run (cv2.VideoWriter reopening would); it writes a .fromN part file."""
+    out = str(tmp_path / "out.avi")
+    ck = str(tmp_path / "ck")
+    # "interrupted" run: first 8 frames, checkpointed
+    assert cli.main(["magnify", clip_path, out, "--mode", "laplace",
+                     "--chunk", "4", "--end", "8", "--checkpoint", ck,
+                     "--checkpoint-every", "4"]) == 0
+    assert _read(out).shape[0] == 8
+    # resumed run over the full range: continues at 8 into a part file
+    assert cli.main(["magnify", clip_path, out, "--mode", "laplace",
+                     "--chunk", "4", "--checkpoint", ck]) == 0
+    assert _read(out).shape[0] == 8  # untouched
+    part = str(tmp_path / "out.from8.avi")
+    assert _read(part).shape[0] == 6  # frames 8..13

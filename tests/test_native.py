@@ -169,3 +169,20 @@ def test_native_transport_full_pipeline(monkeypatch):
         time.sleep(0.02)
     assert ctrl.stats().processed >= 5
     ctrl.close()
+
+
+def test_adapter_failed_push_releases_slot():
+    """A push refused by a stopped queue must recycle the arena slot (no
+    orphaned slots until reset)."""
+    pool = native.NativeFramePoolAdapter(2, 8 * 8 * 3)
+    q = native.NativeQueueAdapter(1, pool)
+    q.stop()
+    f = pool.acquire(4, 4, 3)
+    assert f is not None
+    assert not q.push(f)
+    # both slots still acquirable: the refused push returned its slot
+    a = pool.acquire(4, 4, 3)
+    b = pool.acquire(4, 4, 3)
+    assert a is not None and b is not None
+    a.release()
+    b.release()
