@@ -92,11 +92,16 @@ def cmd_magnify(args) -> int:
     import numpy as np
 
     from live_video_magnification_tpu.export.batch import ClipProcessor
+    from live_video_magnification_tpu.export.exporter import compose
+    from live_video_magnification_tpu.export.types import SplitMode
     from live_video_magnification_tpu.io.video import (
         VideoWriterStream,
         iter_video,
         video_info,
     )
+
+    split = {"none": SplitMode.NONE, "left-right": SplitMode.LEFT_RIGHT,
+             "top-bottom": SplitMode.TOP_BOTTOM}[args.split]
 
     total, h, w, fps = video_info(args.input)
     probe = next(iter_video(args.input, args.start, args.start + 1), None)
@@ -134,10 +139,19 @@ def cmd_magnify(args) -> int:
     t0 = time.monotonic()
 
     def flush(buf):
-        processed, _original = proc.process_chunk(
+        processed, original = proc.process_chunk(
             np.ascontiguousarray(np.moveaxis(np.stack(buf), -1, 1))
         )
-        writer.write_chunk(np.moveaxis(processed, 1, -1))
+        out_hwc = np.moveaxis(processed, 1, -1)
+        if split is not SplitMode.NONE:
+            # Same pane composition as the exporter (even dims + labels,
+            # Exporter.cpp:53-88 semantics).
+            orig_hwc = np.moveaxis(original, 1, -1)
+            out_hwc = np.stack([
+                compose(orig_hwc[i], out_hwc[i], split, args.labels)
+                for i in range(out_hwc.shape[0])
+            ])
+        writer.write_chunk(out_hwc)
         done = proc.cursor
         print(f"\r{done}/{goal if goal is not None else '?'} frames",
               end="", file=sys.stderr)
@@ -323,6 +337,10 @@ def main(argv=None) -> int:
     p.add_argument("--time-parallel", action="store_true",
                    help="sequence-parallel chunks (associative scans over T) "
                         "instead of the sequential per-frame scan")
+    p.add_argument("--split", default="none",
+                   choices=["none", "left-right", "top-bottom"],
+                   help="compose original|processed panes like the GUI export")
+    p.add_argument("--labels", action="store_true", help="burn in pane labels")
     _add_mag_args(p)
     p.set_defaults(fn=cmd_magnify)
 

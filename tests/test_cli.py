@@ -116,3 +116,11 @@ def test_magnify_resume_writes_part_file_not_truncating(clip_path, tmp_path):
     assert _read(out).shape[0] == 8  # untouched
     part = str(tmp_path / "out.from8.avi")
     assert _read(part).shape[0] == 6  # frames 8..13
+
+
+def test_magnify_split_composition(clip_path, tmp_path):
+    out = str(tmp_path / "split.avi")
+    assert cli.main(["magnify", clip_path, out, "--mode", "laplace",
+                     "--chunk", "5", "--split", "left-right", "--labels"]) == 0
+    frames = _read(out)
+    assert frames.shape[1:] == (64, 160, 3)  # width doubled by the panes
