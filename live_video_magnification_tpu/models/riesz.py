@@ -123,7 +123,11 @@ def step(
     lo_state = tuple(masked(f) for f in state.lo)
     hi_state = tuple(masked(f) for f in state.hi)
 
-    # Per active level: phase diff vs prior, then lo/hi DF-II IIR.
+    # Per active level: phase diff vs prior, then lo/hi DF-II IIR. The fused
+    # path runs the whole element-wise front (rebuild/masking + quaternion
+    # phase diff + both DF-II filters + the normalize pre-products) as ONE
+    # Pallas pass — unfused, XLA materializes ~7 ms of intermediates per 4K
+    # frame (tools/microbench.py round-2 'tail' stage).
     from live_video_magnification_tpu.ops.riesz import _use_fused_build
 
     new_lo: List[FilterLevelState] = []
@@ -134,9 +138,42 @@ def step(
         fused_tail = cur[lvl].lowpass.ndim == 2 and min(lh, lw) >= 16 and (
             use_pallas if use_pallas is not None else _use_fused_build(lh, lw)
         )
-        pr = phase_difference_and_amplitude(
-            cur[lvl], old[lvl], compute_blur=not fused_tail
-        )
+        if fused_tail:
+            from live_video_magnification_tpu.ops.pallas.riesz_amplify import (
+                riesz_amplify_fused,
+            )
+            from live_video_magnification_tpu.ops.pallas.riesz_phase_fused import (
+                riesz_phase_df2_fused,
+            )
+
+            def flat(fl: FilterLevelState):
+                return (fl.phase.cos, fl.phase.sin, fl.reg0.cos, fl.reg0.sin,
+                        fl.reg1.cos, fl.reg1.sin)
+
+            # raw prior/state: the kernel applies rebuild/zeroing itself
+            amplitude, wc, ws, lo6, hi6 = riesz_phase_df2_fused(
+                cur[lvl].lowpass, cur[lvl].riesz.cos, cur[lvl].riesz.sin,
+                state.old[lvl].lowpass, state.old[lvl].riesz.cos,
+                state.old[lvl].riesz.sin,
+                flat(state.lo[lvl]), flat(state.hi[lvl]),
+                dyn.b_lo, dyn.a_lo, dyn.b_hi, dyn.a_hi,
+                rebuild_old,
+            )
+            unflat = lambda t: FilterLevelState(
+                CompExp(t[0], t[1]), CompExp(t[2], t[3]), CompExp(t[4], t[5])
+            )
+            new_lo.append(unflat(lo6))
+            new_hi.append(unflat(hi6))
+            lowpasses.append(
+                riesz_amplify_fused(
+                    amplitude, wc, ws,
+                    cur[lvl].lowpass, cur[lvl].riesz.cos, cur[lvl].riesz.sin,
+                    dyn.amplification, dyn.threshold, preweighted=True,
+                )
+            )
+            continue
+
+        pr = phase_difference_and_amplitude(cur[lvl], old[lvl], compute_blur=True)
         lo_res, lo_phase, lo_r0, lo_r1 = riesz_df2_step(
             lo_state[lvl].phase, lo_state[lvl].reg0, lo_state[lvl].reg1,
             pr.phase_diff, dyn.b_lo, dyn.a_lo,
@@ -147,27 +184,12 @@ def step(
         )
         new_lo.append(FilterLevelState(lo_phase, lo_r0, lo_r1))
         new_hi.append(FilterLevelState(hi_phase, hi_r0, hi_r1))
-
-        if fused_tail:
-            from live_video_magnification_tpu.ops.pallas.riesz_amplify import (
-                riesz_amplify_fused,
-            )
-
-            change = hi_res - lo_res
-            lowpasses.append(
-                riesz_amplify_fused(
-                    pr.amplitude, change.cos, change.sin,
-                    cur[lvl].lowpass, cur[lvl].riesz.cos, cur[lvl].riesz.sin,
-                    dyn.amplification, dyn.threshold,
-                )
-            )
-        else:
-            normalized = normalize_phase(
-                hi_res, lo_res, pr.amplitude, pr.amplitude_blurred
-            )
-            lowpasses.append(
-                amplify_level(cur[lvl], normalized, dyn.amplification, dyn.threshold)
-            )
+        normalized = normalize_phase(
+            hi_res, lo_res, pr.amplitude, pr.amplitude_blurred
+        )
+        lowpasses.append(
+            amplify_level(cur[lvl], normalized, dyn.amplification, dyn.threshold)
+        )
     lowpasses.append(cur[levels - 1].lowpass)  # untouched residual octave
 
     magnified = collapse_riesz_pyramid(lowpasses, use_pallas=use_pallas)

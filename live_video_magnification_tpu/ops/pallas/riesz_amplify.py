@@ -58,7 +58,7 @@ def _blur13_into(dst_ref, rp_ref, src, rows: int, cols: int) -> None:
 
 def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, lp_hbm, rr_hbm, ri_hbm, out_ref,
             amp_v, cc_v, cs_v, lp_v, rr_v, ri_v, rp_s, ab_s, nc_s, ns_s, sems,
-            *, tile: int, w: int):
+            *, tile: int, w: int, preweighted: bool):
     ti = pl.program_id(0)
     alpha = scalars[0, 0]
     threshold = scalars[0, 1]
@@ -77,8 +77,12 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, lp_hbm, rr_hbm, ri_hbm, out_ref,
     amp = amp_v[:, :]
 
     _blur13_into(ab_s, rp_s, amp, tile, w)
-    _blur13_into(nc_s, rp_s, cc_v[:, :] * amp, tile, w)
-    _blur13_into(ns_s, rp_s, cs_v[:, :] * amp, tile, w)
+    if preweighted:  # cc/cs already carry the amplitude weight
+        _blur13_into(nc_s, rp_s, cc_v[:, :], tile, w)
+        _blur13_into(ns_s, rp_s, cs_v[:, :], tile, w)
+    else:
+        _blur13_into(nc_s, rp_s, cc_v[:, :] * amp, tile, w)
+        _blur13_into(ns_s, rp_s, cs_v[:, :] * amp, tile, w)
 
     ab = ab_s[:, :]
     nc = nc_s[:, :] / ab
@@ -94,16 +98,16 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, lp_hbm, rr_hbm, ri_hbm, out_ref,
     out_ref[:, :] = lp * jnp.cos(mag2) - pair * jnp.sin(mag2)
 
 
-@functools.partial(jax.jit, static_argnames=("w_out", "interpret"))
+@functools.partial(jax.jit, static_argnames=("w_out", "interpret", "preweighted"))
 def _run(scalars, amp_p, cc_p, cs_p, lp_p, rr_p, ri_p, w_out: int,
-         interpret: bool = False):
+         interpret: bool = False, preweighted: bool = False):
     hp, wp_aligned = amp_p.shape
     h = hp - 2 * _HALO - (_STRIP - (_TILE + 2 * _HALO))
     w = w_out
     tile = _TILE
     n_tiles = h // tile
 
-    kernel = functools.partial(_kernel, tile=tile, w=w)
+    kernel = functools.partial(_kernel, tile=tile, w=w, preweighted=preweighted)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
@@ -137,9 +141,12 @@ def riesz_amplify_fused(
     alpha,
     threshold,
     interpret: bool = False,
+    preweighted: bool = False,
 ) -> jnp.ndarray:
     """Fused normalize+amplify for one [H, W] level. Matches
-    normalize_phase + amplify_level of ops/riesz.py."""
+    normalize_phase + amplify_level of ops/riesz.py. preweighted=True means
+    change_c/s already carry the amplitude factor (riesz_phase_df2_fused
+    outputs)."""
     h, w = amplitude.shape
     assert min(h, w) >= MIN_FUSED_DIM
     h_pad = -(-h // _TILE) * _TILE
@@ -153,5 +160,6 @@ def riesz_amplify_fused(
     scalars = jnp.stack([jnp.asarray(alpha, jnp.float32),
                          jnp.asarray(threshold, jnp.float32)]).reshape(1, 2)
     out = _run(scalars, prep(amplitude), prep(change_c), prep(change_s),
-               prep(lowpass), prep(riesz_r), prep(riesz_i), w, interpret=interpret)
+               prep(lowpass), prep(riesz_r), prep(riesz_i), w, interpret=interpret,
+               preweighted=preweighted)
     return out[:h, :w]

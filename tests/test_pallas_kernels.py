@@ -131,3 +131,123 @@ def test_lp9_decimate_mxu_matches_conv_subsample(h, w):
     got = lp9_decimate_mxu(x, 2.0 * RIESZ_LOWPASS_9x9, interpret=True)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4)
+
+
+def test_riesz_phase_df2_fused_matches_jnp():
+    """riesz_phase_df2_fused == phase_difference_and_amplitude + 2x
+    riesz_df2_step + the rebuild/zero selection + normalize pre-products."""
+    import jax
+    import jax.numpy as jnp
+
+    from live_video_magnification_tpu.models.riesz import FilterLevelState
+    from live_video_magnification_tpu.ops.pallas.riesz_phase_fused import (
+        riesz_phase_df2_fused,
+    )
+    from live_video_magnification_tpu.ops.riesz import (
+        RieszLevel,
+        phase_difference_and_amplitude,
+    )
+    from live_video_magnification_tpu.ops.temporal import (
+        CompExp,
+        butterworth_bandpass_coeffs,
+        riesz_df2_step,
+    )
+
+    rng = np.random.default_rng(17)
+    h, w = 40, 72  # deliberately not multiples of the tile/lane sizes
+    mk = lambda: jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    cur = RieszLevel(mk(), CompExp(mk(), mk()))
+    old = RieszLevel(mk(), CompExp(mk(), mk()))
+    lo = FilterLevelState(CompExp(mk(), mk()), CompExp(mk(), mk()), CompExp(mk(), mk()))
+    hi = FilterLevelState(CompExp(mk(), mk()), CompExp(mk(), mk()), CompExp(mk(), mk()))
+    b_lo, a_lo = butterworth_bandpass_coeffs(0.7, 30.0)
+    b_hi, a_hi = butterworth_bandpass_coeffs(3.0, 30.0)
+    b_lo, a_lo = jnp.asarray(b_lo, jnp.float32), jnp.asarray(a_lo, jnp.float32)
+    b_hi, a_hi = jnp.asarray(b_hi, jnp.float32), jnp.asarray(a_hi, jnp.float32)
+
+    flat = lambda fl: (fl.phase.cos, fl.phase.sin, fl.reg0.cos, fl.reg0.sin,
+                       fl.reg1.cos, fl.reg1.sin)
+
+    for rebuild in (False, True):
+        # jnp reference with the same selection semantics
+        o = cur if rebuild else old
+        mask = (lambda x: jnp.zeros_like(x)) if rebuild else (lambda x: x)
+        lo_m = jax.tree.map(mask, lo)
+        hi_m = jax.tree.map(mask, hi)
+        pr = phase_difference_and_amplitude(cur, o, compute_blur=False)
+        lo_res, lo_p, lo_r0, lo_r1 = riesz_df2_step(
+            lo_m.phase, lo_m.reg0, lo_m.reg1, pr.phase_diff, b_lo, a_lo)
+        hi_res, hi_p, hi_r0, hi_r1 = riesz_df2_step(
+            hi_m.phase, hi_m.reg0, hi_m.reg1, pr.phase_diff, b_hi, a_hi)
+        ref_wc = (hi_res.cos - lo_res.cos) * pr.amplitude
+        ref_ws = (hi_res.sin - lo_res.sin) * pr.amplitude
+
+        amp, wc, ws, lo6, hi6 = riesz_phase_df2_fused(
+            cur.lowpass, cur.riesz.cos, cur.riesz.sin,
+            old.lowpass, old.riesz.cos, old.riesz.sin,
+            flat(lo), flat(hi), b_lo, a_lo, b_hi, a_hi,
+            jnp.asarray(rebuild), interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(amp), np.asarray(pr.amplitude),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(wc), np.asarray(ref_wc),
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(ws), np.asarray(ref_ws),
+                                   atol=1e-5, rtol=1e-4)
+        for got, want in zip(lo6, (lo_p.cos, lo_p.sin, lo_r0.cos, lo_r0.sin,
+                                   lo_r1.cos, lo_r1.sin)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-5, rtol=1e-4)
+        for got, want in zip(hi6, (hi_p.cos, hi_p.sin, hi_r0.cos, hi_r0.sin,
+                                   hi_r1.cos, hi_r1.sin)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-5, rtol=1e-4)
+
+
+def test_riesz_step_with_all_pallas_kernels_matches_jnp_step(monkeypatch):
+    """The full phase step with use_pallas=True, every Pallas entry point
+    forced to interpret mode — exercises the real wiring (MXU build/collapse,
+    riesz_phase_df2_fused, preweighted riesz_amplify_fused) vs the jnp step."""
+    import functools
+    import math
+
+    import jax.numpy as jnp
+
+    import live_video_magnification_tpu.ops.pallas.conv9_mxu as c9
+    import live_video_magnification_tpu.ops.pallas.riesz_amplify as ra
+    import live_video_magnification_tpu.ops.pallas.riesz_build as rb
+    import live_video_magnification_tpu.ops.pallas.riesz_phase_fused as rpf
+    from live_video_magnification_tpu.models import riesz as riesz_mode
+    from live_video_magnification_tpu.ops.temporal import butterworth_bandpass_coeffs
+    from oracle import synthetic_clip
+
+    for mod, name in [(c9, "conv9_mxu"), (c9, "band5_mxu"), (c9, "lp9_decimate_mxu"),
+                      (c9, "lp9_inject_mxu"), (ra, "riesz_amplify_fused"),
+                      (rb, "riesz_build_level_fused"),
+                      (rpf, "riesz_phase_df2_fused")]:
+        monkeypatch.setattr(mod, name,
+                            functools.partial(getattr(mod, name), interpret=True))
+    # shrink the MXU threshold so the banded kernels engage at test dims
+    monkeypatch.setattr(c9, "MIN_MXU_DIM", 16)
+
+    t, h, w, levels = 4, 48, 64, 2
+    frames = synthetic_clip(t, h, w, color=True, seed=44)
+    b_lo, a_lo = butterworth_bandpass_coeffs(0.5, 30.0)
+    b_hi, a_hi = butterworth_bandpass_coeffs(3.0, 30.0)
+    dyn = riesz_mode.RieszDynParams(
+        jnp.float32(30.0), jnp.float32(0.4 * math.pi),
+        jnp.asarray(b_lo, jnp.float32), jnp.asarray(a_lo, jnp.float32),
+        jnp.asarray(b_hi, jnp.float32), jnp.asarray(a_hi, jnp.float32),
+        jnp.asarray(False), jnp.asarray(False),
+    )
+    st_ref = riesz_mode.init_state(h, w, levels)
+    st_fus = riesz_mode.init_state(h, w, levels)
+    for f in frames:
+        chw = jnp.asarray(np.moveaxis(f, -1, 0))
+        st_ref, o_ref = riesz_mode.step(st_ref, chw, dyn, levels=levels,
+                                        use_pallas=False)
+        st_fus, o_fus = riesz_mode.step(st_fus, chw, dyn, levels=levels,
+                                        use_pallas=True)
+        d = np.abs(np.asarray(o_ref).astype(np.int16)
+                   - np.asarray(o_fus).astype(np.int16))
+        assert d.max() <= 1, f"max diff {d.max()} LSB"
