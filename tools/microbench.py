@@ -14,6 +14,11 @@ Usage: python tools/microbench.py [--res 2160x3840] [--levels 6] [--steps 20]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import math
 import sys

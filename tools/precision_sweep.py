@@ -9,6 +9,11 @@ Run per setting in a fresh process (the knob is read at trace time):
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import math
 import os
