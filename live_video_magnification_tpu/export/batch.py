@@ -52,7 +52,7 @@ class ClipProcessor:
         self.time_parallel = time_parallel
 
         if time_parallel:
-            preprocess, gray_stage = _build_pre_stages(self.key)
+            preprocess, _downscale, gray_stage = _build_pre_stages(self.key)
             par_fn = parallel_clip_fn(self.key)
 
             def chunk(state, frames, dyn):

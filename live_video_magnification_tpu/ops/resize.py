@@ -81,7 +81,25 @@ def resize_linear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
 
 
 def resize_area(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
-    """cv::resize INTER_AREA (shrinking) on [..., H, W]."""
+    """cv::resize INTER_AREA (shrinking) on [..., H, W].
+
+    Integer shrink factors (the 1/2 / 1/4 / 1/8 preprocess path) reduce to an
+    exact box average, computed as a reshape-mean instead of two matmuls: the
+    weight matrix is uniform 1/f per cell, so both forms are the same sum —
+    the reduce is ~6x cheaper than the matmuls on the CPU host loop and fuses
+    just as well on TPU.
+    """
+    h, w = x.shape[-2], x.shape[-1]
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+    if (
+        jnp.issubdtype(x.dtype, jnp.floating)
+        and oh > 0 and ow > 0 and h % oh == 0 and w % ow == 0
+    ):
+        fh, fw = h // oh, w // ow
+        r = x.reshape(x.shape[:-2] + (oh, fh, ow, fw))
+        return r.mean(axis=(-3, -1))
     return _apply(x, out_hw, "area")
 
 
