@@ -227,6 +227,28 @@ class _Ops:
 
         return self.mode != "jnp" and min(h, w) >= MIN_FUSED_DIM
 
+    def fused_phase_ok(self, h: int, w: int) -> bool:
+        from live_video_magnification_tpu.ops.pallas.riesz_phase_fused import (
+            MIN_FUSED_DIM,
+        )
+
+        return self.mode != "jnp" and min(h, w) >= MIN_FUSED_DIM
+
+    def fused_phase(self, cur: RieszLevel, old: RieszLevel, lo6, hi6,
+                    b_lo, a_lo, b_hi, a_hi, rebuild):
+        """Fused phase-diff + dual DF-II (element-wise, so it runs unchanged on
+        a W shard). Returns (amplitude, wc, ws, lo_state', hi_state')."""
+        from live_video_magnification_tpu.ops.pallas.riesz_phase_fused import (
+            riesz_phase_df2_fused,
+        )
+
+        return riesz_phase_df2_fused(
+            cur.lowpass, cur.riesz.cos, cur.riesz.sin,
+            old.lowpass, old.riesz.cos, old.riesz.sin,
+            lo6, hi6, b_lo, a_lo, b_hi, a_hi, rebuild,
+            interpret=self._interp,
+        )
+
     def fused_build_ok(self, h: int, w: int) -> bool:
         from live_video_magnification_tpu.ops.pallas.riesz_build import MIN_FUSED_DIM
 
@@ -240,13 +262,14 @@ class _Ops:
 
         return riesz_build_level_fused(octave, interpret=self._interp)
 
-    def fused_tail(self, amplitude, change: CompExp, level: RieszLevel, alpha, threshold):
+    def fused_tail(self, amplitude, change: CompExp, level: RieszLevel, alpha,
+                   threshold, preweighted: bool = False):
         from live_video_magnification_tpu.ops.pallas.riesz_amplify import riesz_amplify_fused
 
         return riesz_amplify_fused(
             amplitude, change.cos, change.sin,
             level.lowpass, level.riesz.cos, level.riesz.sin,
-            alpha, threshold, interpret=self._interp,
+            alpha, threshold, interpret=self._interp, preweighted=preweighted,
         )
 
 
@@ -265,6 +288,25 @@ def _sharded_build_level_fused(ops: _Ops, octave_local, axis_name):
     return sl(hp), sl(r), sl(i), sub[:, 3 : 3 + wl // 2]
 
 
+def _sharded_build_level(ops: _Ops, octave_local, axis_name):
+    """Full build of one sharded level (hp, band pair, decimated lowpass) from
+    ONE halo-6 exchange instead of three separate halo-4/2/4 exchanges.
+
+    The exchanged strip covers global cols [s-6, s+wl+6). conv9 (reach 4) is
+    then valid on [s-2, s+wl+2) — exactly the 2-col apron band5 needs — and
+    the even-site decimation (reach 4) is valid from decimated col 2 on, with
+    global col s landing at decimated col 3 (strips start on even cols). The
+    kernels' internal reflect-101 padding only contaminates the discarded
+    halo region, as in the per-op helpers below."""
+    wl = octave_local.shape[-1]
+    xh = ops.exchange(octave_local, _BLUR_HALO, axis_name)
+    hp_ext = ops.conv9(xh, RIESZ_HIGHPASS_9x9)[:, 4 : 4 + wl + 2 * _BAND_HALO]
+    r, i = ops.band5(hp_ext)
+    sl = lambda a: a[:, _BAND_HALO : _BAND_HALO + wl]
+    sub = ops.lp_decimate(xh)[:, 3 : 3 + wl // 2]
+    return sl(hp_ext), sl(r), sl(i), sub
+
+
 def _sharded_conv9(ops: _Ops, x_local, k9, axis_name):
     w_local = x_local.shape[-1]
     xh = ops.exchange(x_local, _CONV9_HALO, axis_name)
@@ -279,16 +321,6 @@ def _sharded_band5(ops: _Ops, hp_local, axis_name):
             i[:, _BAND_HALO : _BAND_HALO + w_local])
 
 
-def _sharded_decimate(ops: _Ops, x_local, axis_name):
-    # local strip starts at an even global column (local width forced even), so
-    # even-pixel decimation of the 4-halo strip == the global decimation; the
-    # first two decimated columns come from the halo and are discarded.
-    w_local = x_local.shape[-1]
-    xh = ops.exchange(x_local, _CONV9_HALO, axis_name)
-    sub = ops.lp_decimate(xh)
-    return sub[:, 2 : 2 + w_local // 2]
-
-
 def _sharded_inject(ops: _Ops, small_local, out_h, axis_name):
     # 2-col small halo -> 4 injected halo columns == exactly conv9's reach.
     # The trailing global edge pads SYMMETRIC (zero-injection parity quirk).
@@ -298,25 +330,32 @@ def _sharded_inject(ops: _Ops, small_local, out_h, axis_name):
     return lp[:, 2 * _BAND_HALO : 2 * _BAND_HALO + 2 * sw_local]
 
 
-def _sharded_tail(ops: _Ops, level_local: RieszLevel, pr, change: CompExp,
-                  alpha, threshold, axis_name):
+def _sharded_tail(ops: _Ops, level_local: RieszLevel, amplitude, wc, ws,
+                  alpha, threshold, axis_name, preweighted: bool):
     """normalize_phase + amplify_level on a W shard: the three 13x13 blurs need
-    a 6-col halo; everything else is element-wise. One stacked exchange."""
+    a 6-col halo; everything else is element-wise. One stacked exchange.
+
+    preweighted=True: wc/ws already carry the amplitude factor (the
+    riesz_phase_df2_fused outputs); otherwise they are the raw (hi-lo)
+    cos/sin difference."""
     w_local = level_local.lowpass.shape[-1]
     h = level_local.lowpass.shape[-2]
     if ops.fused_tail_ok(h, w_local + 2 * _BLUR_HALO):
         stack = jnp.stack([
-            pr.amplitude, change.cos, change.sin,
+            amplitude, wc, ws,
             level_local.lowpass, level_local.riesz.cos, level_local.riesz.sin,
         ])
         sh = ops.exchange(stack, _BLUR_HALO, axis_name)
         out = ops.fused_tail(
             sh[0], CompExp(sh[1], sh[2]), RieszLevel(sh[3], CompExp(sh[4], sh[5])),
-            alpha, threshold,
+            alpha, threshold, preweighted=preweighted,
         )
         return out[:, _BLUR_HALO : _BLUR_HALO + w_local]
     # jnp fallback: haloed separable blurs, local element-wise tail.
-    stack = jnp.stack([pr.amplitude, change.cos * pr.amplitude, change.sin * pr.amplitude])
+    if preweighted:
+        stack = jnp.stack([amplitude, wc, ws])
+    else:
+        stack = jnp.stack([amplitude, wc * amplitude, ws * amplitude])
     sh = ops.exchange(stack, _BLUR_HALO, axis_name)
     blurred = amplitude_blur(sh)
     sl = lambda x: x[:, _BLUR_HALO : _BLUR_HALO + w_local]
@@ -352,9 +391,7 @@ def _riesz_step_local(
             if ops.fused_build_ok(lh, lwl + 2 * _BLUR_HALO):
                 hp, r, i, sub = _sharded_build_level_fused(ops, octave, axis_name)
             else:
-                hp = _sharded_conv9(ops, octave, RIESZ_HIGHPASS_9x9, axis_name)
-                r, i = _sharded_band5(ops, hp, axis_name)
-                sub = _sharded_decimate(ops, octave, axis_name)
+                hp, r, i, sub = _sharded_build_level(ops, octave, axis_name)
             if not plan.sharded[l + 1]:
                 sub = lax.all_gather(sub, axis_name, axis=1, tiled=True)
         else:
@@ -392,6 +429,41 @@ def _riesz_step_local(
     new_hi: List[FilterLevelState] = []
     lowpasses: List[jnp.ndarray] = []
     for lvl in range(levels - 1):
+        h_l, w_l = cur[lvl].lowpass.shape
+        if ops.fused_phase_ok(h_l, w_l) and not plan.sharded[lvl]:
+            # Fused element-wise front (rebuild/zeroing + quaternion phase
+            # diff + both DF-II filters + normalize pre-products) — the same
+            # saving as the unsharded step (models/riesz.py). REPLICATED
+            # levels only: on sharded levels XLA fuses the unfused jnp front
+            # directly into the tail's halo-exchange stack, so the Pallas
+            # pass only adds HBM round-trips there (measured: 18.3 vs
+            # 17.7 ms/4K-frame with the kernel forced on).
+            flat = lambda fl: (fl.phase.cos, fl.phase.sin, fl.reg0.cos,
+                               fl.reg0.sin, fl.reg1.cos, fl.reg1.sin)
+            amplitude, wc, ws, lo6, hi6 = ops.fused_phase(
+                cur[lvl], state.old[lvl], flat(state.lo[lvl]),
+                flat(state.hi[lvl]), dyn.b_lo, dyn.a_lo, dyn.b_hi, dyn.a_hi,
+                rebuild_old,
+            )
+            unflat = lambda t: FilterLevelState(
+                CompExp(t[0], t[1]), CompExp(t[2], t[3]), CompExp(t[4], t[5])
+            )
+            new_lo.append(unflat(lo6))
+            new_hi.append(unflat(hi6))
+            if plan.sharded[lvl]:
+                lowpasses.append(
+                    _sharded_tail(ops, cur[lvl], amplitude, wc, ws,
+                                  dyn.amplification, dyn.threshold, axis_name,
+                                  preweighted=True)
+                )
+            else:
+                lowpasses.append(
+                    ops.fused_tail(amplitude, CompExp(wc, ws), cur[lvl],
+                                   dyn.amplification, dyn.threshold,
+                                   preweighted=True)
+                )
+            continue
+
         lo_st = masked(state.lo[lvl])
         hi_st = masked(state.hi[lvl])
         pr = phase_difference_and_amplitude(cur[lvl], old[lvl], compute_blur=False)
@@ -406,11 +478,11 @@ def _riesz_step_local(
         change = hi_res - lo_res
         if plan.sharded[lvl]:
             lowpasses.append(
-                _sharded_tail(ops, cur[lvl], pr, change, dyn.amplification,
-                              dyn.threshold, axis_name)
+                _sharded_tail(ops, cur[lvl], pr.amplitude, change.cos,
+                              change.sin, dyn.amplification, dyn.threshold,
+                              axis_name, preweighted=False)
             )
         else:
-            h_l, w_l = cur[lvl].lowpass.shape
             if ops.fused_tail_ok(h_l, w_l):
                 lowpasses.append(
                     ops.fused_tail(pr.amplitude, change, cur[lvl],
