@@ -88,6 +88,22 @@ def _rtt():
     return time.monotonic() - t0
 
 
+def _best_of(run, state, rtt: float, reps: int = 3):
+    """Repeat the (already compiled) timed dispatch and keep the fastest.
+
+    The axon relay adds +-20% run-to-run queueing noise on top of the device
+    time; min over a few identical dispatches estimates actual throughput.
+    Returns (best_dt, last_checksum); state is threaded through (donated)."""
+    best = float("inf")
+    chk = 0
+    for _ in range(reps):
+        t0 = time.monotonic()
+        state, c = run(state)
+        chk = int(c)
+        best = min(best, max(1e-9, time.monotonic() - t0 - rtt))
+    return best, chk
+
+
 def bench_mode_scan(mode: str, h: int, w: int, levels: int, steps: int,
                     fps_cfg: float = 30.0) -> dict:
     """Sequential lax.scan of `steps` magnification steps; one checksum sync."""
@@ -114,10 +130,7 @@ def bench_mode_scan(mode: str, h: int, w: int, levels: int, steps: int,
     warm = int(chk)
     compile_s = time.monotonic() - t0
     rtt = _rtt()
-    t0 = time.monotonic()
-    state, chk = run_n(state, dyn, steps)
-    final = int(chk)
-    dt = max(1e-9, time.monotonic() - t0 - rtt)
+    dt, final = _best_of(lambda st: run_n(st, dyn, steps), state, rtt)
     return {
         "fps": steps / dt, "compile_s": compile_s, "rtt_s": rtt,
         "ms_per_frame": dt / steps * 1e3, "checksums": (warm, final),
@@ -145,10 +158,7 @@ def bench_time_parallel(mode: str, h: int, w: int, levels: int, t_chunk: int,
     warm = int(chk)
     compile_s = time.monotonic() - t0
     rtt = _rtt()
-    t0 = time.monotonic()
-    state, chk = run(state, frames, dyn)
-    final = int(chk)
-    dt = max(1e-9, time.monotonic() - t0 - rtt)
+    dt, final = _best_of(lambda st: run(st, frames, dyn), state, rtt)
     return {
         "fps": t_chunk / dt, "compile_s": compile_s, "rtt_s": rtt,
         "ms_per_frame": dt / t_chunk * 1e3, "checksums": (warm, final),
@@ -183,10 +193,7 @@ def bench_sharded_step(h: int, w: int, levels: int, steps: int,
     warm = int(chk)
     compile_s = time.monotonic() - t0
     rtt = _rtt()
-    t0 = time.monotonic()
-    state, chk = step(state, frame, dyn)
-    final = int(chk)
-    dt = max(1e-9, time.monotonic() - t0 - rtt)
+    dt, final = _best_of(lambda st: step(st, frame, dyn), state, rtt)
     return {
         "fps": steps / dt, "compile_s": compile_s, "rtt_s": rtt,
         "ms_per_frame": dt / steps * 1e3, "checksums": (warm, final),
