@@ -123,22 +123,27 @@ def step(
     lo_state = tuple(masked(f) for f in state.lo)
     hi_state = tuple(masked(f) for f in state.hi)
 
-    # Per active level: phase diff vs prior, then lo/hi DF-II IIR. The fused
-    # path runs the whole element-wise front (rebuild/masking + quaternion
-    # phase diff + both DF-II filters + the normalize pre-products) as ONE
-    # Pallas pass — unfused, XLA materializes ~7 ms of intermediates per 4K
-    # frame (tools/microbench.py round-2 'tail' stage).
+    # Per active level: phase diff vs prior, then lo/hi DF-II IIR, then the
+    # fused 13x13-blur normalize+amplify Pallas tail. The element-wise phase
+    # front stays in jnp BY DEFAULT: XLA fuses it into the amplify kernel's
+    # input pipeline, and the all-in-one riesz_phase_df2_fused Pallas pass
+    # (LVMT_PHASE_FUSED=1) measured SLOWER on hardware — 16.9 vs
+    # 15.5 ms/4K-frame same-day A/B — because its 15 HBM output planes undo
+    # what XLA would have fused away.
     from live_video_magnification_tpu.ops.riesz import _use_fused_build
 
     new_lo: List[FilterLevelState] = []
     new_hi: List[FilterLevelState] = []
     lowpasses: List[jnp.ndarray] = []
+    import os as _os
+
+    phase_kernel = _os.environ.get("LVMT_PHASE_FUSED", "0") == "1"
     for lvl in range(levels - 1):
         lh, lw = cur[lvl].lowpass.shape[-2], cur[lvl].lowpass.shape[-1]
         fused_tail = cur[lvl].lowpass.ndim == 2 and min(lh, lw) >= 16 and (
             use_pallas if use_pallas is not None else _use_fused_build(lh, lw)
         )
-        if fused_tail:
+        if fused_tail and phase_kernel:
             from live_video_magnification_tpu.ops.pallas.riesz_amplify import (
                 riesz_amplify_fused,
             )
@@ -173,7 +178,9 @@ def step(
             )
             continue
 
-        pr = phase_difference_and_amplitude(cur[lvl], old[lvl], compute_blur=True)
+        pr = phase_difference_and_amplitude(
+            cur[lvl], old[lvl], compute_blur=not fused_tail
+        )
         lo_res, lo_phase, lo_r0, lo_r1 = riesz_df2_step(
             lo_state[lvl].phase, lo_state[lvl].reg0, lo_state[lvl].reg1,
             pr.phase_diff, dyn.b_lo, dyn.a_lo,
@@ -184,6 +191,20 @@ def step(
         )
         new_lo.append(FilterLevelState(lo_phase, lo_r0, lo_r1))
         new_hi.append(FilterLevelState(hi_phase, hi_r0, hi_r1))
+        if fused_tail:  # default: jnp front + fused blur/amplify tail
+            from live_video_magnification_tpu.ops.pallas.riesz_amplify import (
+                riesz_amplify_fused,
+            )
+
+            change = hi_res - lo_res
+            lowpasses.append(
+                riesz_amplify_fused(
+                    pr.amplitude, change.cos, change.sin,
+                    cur[lvl].lowpass, cur[lvl].riesz.cos, cur[lvl].riesz.sin,
+                    dyn.amplification, dyn.threshold,
+                )
+            )
+            continue
         normalized = normalize_phase(
             hi_res, lo_res, pr.amplitude, pr.amplitude_blurred
         )

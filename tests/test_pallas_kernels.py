@@ -204,10 +204,14 @@ def test_riesz_phase_df2_fused_matches_jnp():
                                        atol=1e-5, rtol=1e-4)
 
 
-def test_riesz_step_with_all_pallas_kernels_matches_jnp_step(monkeypatch):
+@pytest.mark.parametrize("phase_fused", ["1", "0"])
+def test_riesz_step_with_all_pallas_kernels_matches_jnp_step(monkeypatch, phase_fused):
     """The full phase step with use_pallas=True, every Pallas entry point
     forced to interpret mode — exercises the real wiring (MXU build/collapse,
-    riesz_phase_df2_fused, preweighted riesz_amplify_fused) vs the jnp step."""
+    riesz_phase_df2_fused, preweighted riesz_amplify_fused) vs the jnp step.
+    Default (LVMT_PHASE_FUSED=0) is the jnp phase front + fused blur/amplify
+    tail; =1 swaps in the all-in-one phase Pallas kernel."""
+    monkeypatch.setenv("LVMT_PHASE_FUSED", phase_fused)
     import functools
     import math
 
