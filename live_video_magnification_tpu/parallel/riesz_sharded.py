@@ -227,28 +227,6 @@ class _Ops:
 
         return self.mode != "jnp" and min(h, w) >= MIN_FUSED_DIM
 
-    def fused_phase_ok(self, h: int, w: int) -> bool:
-        from live_video_magnification_tpu.ops.pallas.riesz_phase_fused import (
-            MIN_FUSED_DIM,
-        )
-
-        return self.mode != "jnp" and min(h, w) >= MIN_FUSED_DIM
-
-    def fused_phase(self, cur: RieszLevel, old: RieszLevel, lo6, hi6,
-                    b_lo, a_lo, b_hi, a_hi, rebuild):
-        """Fused phase-diff + dual DF-II (element-wise, so it runs unchanged on
-        a W shard). Returns (amplitude, wc, ws, lo_state', hi_state')."""
-        from live_video_magnification_tpu.ops.pallas.riesz_phase_fused import (
-            riesz_phase_df2_fused,
-        )
-
-        return riesz_phase_df2_fused(
-            cur.lowpass, cur.riesz.cos, cur.riesz.sin,
-            old.lowpass, old.riesz.cos, old.riesz.sin,
-            lo6, hi6, b_lo, a_lo, b_hi, a_hi, rebuild,
-            interpret=self._interp,
-        )
-
     def fused_build_ok(self, h: int, w: int) -> bool:
         from live_video_magnification_tpu.ops.pallas.riesz_build import MIN_FUSED_DIM
 
@@ -263,13 +241,13 @@ class _Ops:
         return riesz_build_level_fused(octave, interpret=self._interp)
 
     def fused_tail(self, amplitude, change: CompExp, level: RieszLevel, alpha,
-                   threshold, preweighted: bool = False):
+                   threshold):
         from live_video_magnification_tpu.ops.pallas.riesz_amplify import riesz_amplify_fused
 
         return riesz_amplify_fused(
             amplitude, change.cos, change.sin,
             level.lowpass, level.riesz.cos, level.riesz.sin,
-            alpha, threshold, interpret=self._interp, preweighted=preweighted,
+            alpha, threshold, interpret=self._interp,
         )
 
 
@@ -331,13 +309,10 @@ def _sharded_inject(ops: _Ops, small_local, out_h, axis_name):
 
 
 def _sharded_tail(ops: _Ops, level_local: RieszLevel, amplitude, wc, ws,
-                  alpha, threshold, axis_name, preweighted: bool):
+                  alpha, threshold, axis_name):
     """normalize_phase + amplify_level on a W shard: the three 13x13 blurs need
     a 6-col halo; everything else is element-wise. One stacked exchange.
-
-    preweighted=True: wc/ws already carry the amplitude factor (the
-    riesz_phase_df2_fused outputs); otherwise they are the raw (hi-lo)
-    cos/sin difference."""
+    wc/ws are the raw (hi-lo) cos/sin difference."""
     w_local = level_local.lowpass.shape[-1]
     h = level_local.lowpass.shape[-2]
     if ops.fused_tail_ok(h, w_local + 2 * _BLUR_HALO):
@@ -348,14 +323,11 @@ def _sharded_tail(ops: _Ops, level_local: RieszLevel, amplitude, wc, ws,
         sh = ops.exchange(stack, _BLUR_HALO, axis_name)
         out = ops.fused_tail(
             sh[0], CompExp(sh[1], sh[2]), RieszLevel(sh[3], CompExp(sh[4], sh[5])),
-            alpha, threshold, preweighted=preweighted,
+            alpha, threshold,
         )
         return out[:, _BLUR_HALO : _BLUR_HALO + w_local]
     # jnp fallback: haloed separable blurs, local element-wise tail.
-    if preweighted:
-        stack = jnp.stack([amplitude, wc, ws])
-    else:
-        stack = jnp.stack([amplitude, wc * amplitude, ws * amplitude])
+    stack = jnp.stack([amplitude, wc * amplitude, ws * amplitude])
     sh = ops.exchange(stack, _BLUR_HALO, axis_name)
     blurred = amplitude_blur(sh)
     sl = lambda x: x[:, _BLUR_HALO : _BLUR_HALO + w_local]
@@ -428,42 +400,15 @@ def _riesz_step_local(
     new_lo: List[FilterLevelState] = []
     new_hi: List[FilterLevelState] = []
     lowpasses: List[jnp.ndarray] = []
+    # The element-wise phase front (rebuild/zeroing + quaternion phase diff +
+    # both DF-II filters) stays in jnp everywhere: XLA fuses it into the
+    # tail's halo-exchange stack (sharded levels) or the fused amplify
+    # kernel's input pipeline (replicated levels). The all-in-one
+    # riesz_phase_df2_fused Pallas pass measured SLOWER both sharded (18.3 vs
+    # 17.7 ms/4K-frame) and unsharded (16.9 vs 15.5 — models/riesz.py): its
+    # 15 HBM output planes re-materialize what the compiler fuses away.
     for lvl in range(levels - 1):
         h_l, w_l = cur[lvl].lowpass.shape
-        if ops.fused_phase_ok(h_l, w_l) and not plan.sharded[lvl]:
-            # Fused element-wise front (rebuild/zeroing + quaternion phase
-            # diff + both DF-II filters + normalize pre-products) — the same
-            # saving as the unsharded step (models/riesz.py). REPLICATED
-            # levels only: on sharded levels XLA fuses the unfused jnp front
-            # directly into the tail's halo-exchange stack, so the Pallas
-            # pass only adds HBM round-trips there (measured: 18.3 vs
-            # 17.7 ms/4K-frame with the kernel forced on).
-            flat = lambda fl: (fl.phase.cos, fl.phase.sin, fl.reg0.cos,
-                               fl.reg0.sin, fl.reg1.cos, fl.reg1.sin)
-            amplitude, wc, ws, lo6, hi6 = ops.fused_phase(
-                cur[lvl], state.old[lvl], flat(state.lo[lvl]),
-                flat(state.hi[lvl]), dyn.b_lo, dyn.a_lo, dyn.b_hi, dyn.a_hi,
-                rebuild_old,
-            )
-            unflat = lambda t: FilterLevelState(
-                CompExp(t[0], t[1]), CompExp(t[2], t[3]), CompExp(t[4], t[5])
-            )
-            new_lo.append(unflat(lo6))
-            new_hi.append(unflat(hi6))
-            if plan.sharded[lvl]:
-                lowpasses.append(
-                    _sharded_tail(ops, cur[lvl], amplitude, wc, ws,
-                                  dyn.amplification, dyn.threshold, axis_name,
-                                  preweighted=True)
-                )
-            else:
-                lowpasses.append(
-                    ops.fused_tail(amplitude, CompExp(wc, ws), cur[lvl],
-                                   dyn.amplification, dyn.threshold,
-                                   preweighted=True)
-                )
-            continue
-
         lo_st = masked(state.lo[lvl])
         hi_st = masked(state.hi[lvl])
         pr = phase_difference_and_amplitude(cur[lvl], old[lvl], compute_blur=False)
@@ -480,7 +425,7 @@ def _riesz_step_local(
             lowpasses.append(
                 _sharded_tail(ops, cur[lvl], pr.amplitude, change.cos,
                               change.sin, dyn.amplification, dyn.threshold,
-                              axis_name, preweighted=False)
+                              axis_name)
             )
         else:
             if ops.fused_tail_ok(h_l, w_l):
