@@ -126,11 +126,11 @@ def cmd_magnify(args) -> int:
     out_path = args.output
     if start > args.start and os.path.exists(args.output):
         # cv2.VideoWriter would truncate the partial file from the interrupted
-        # run; a resumed run writes its continuation to a part file instead.
+        # run; a resumed run writes its continuation to a part file instead
+        # (auto-concatenated after the run when ffmpeg is present).
         base, ext = os.path.splitext(args.output)
         out_path = f"{base}.from{start}{ext}"
-        print(f"{args.output} exists — writing resumed frames to {out_path} "
-              "(concatenate the parts, e.g. with ffmpeg's concat demuxer)",
+        print(f"{args.output} exists — writing resumed frames to {out_path}",
               file=sys.stderr)
 
     end = args.end if args.end is not None else (total or None)
@@ -179,7 +179,69 @@ def cmd_magnify(args) -> int:
         return 1
     print(f"\nwrote {writer.frames_written} frames to {path} "
           f"({writer.frames_written/dt:.1f} fps processing)", file=sys.stderr)
+    if out_path != args.output:
+        _concat_resumed_parts(args.output)
     return 0
+
+
+def _concat_resumed_parts(output: str) -> None:
+    """Merge `output` + its `.fromN` continuation part files back into one file
+    via ffmpeg's concat demuxer (stream copy — both parts share a writer
+    config). Without ffmpeg the parts are kept and the manual instruction
+    printed (VERDICT round-2 item 6c)."""
+    import glob
+    import os
+    import re
+    import shutil
+    import subprocess
+    import tempfile
+
+    base, ext = os.path.splitext(output)
+    part_re = re.compile(re.escape(os.path.basename(base)) + r"\.from(\d+)" +
+                         re.escape(ext) + r"$")
+    parts = []
+    for p in glob.glob(f"{glob.escape(base)}.from*{ext}"):
+        m = part_re.match(os.path.basename(p))
+        if m:
+            parts.append((int(m.group(1)), p))
+    parts.sort()
+    if not parts:
+        return
+    ordered = [output] + [p for _n, p in parts]
+    if shutil.which("ffmpeg") is None:
+        print(f"ffmpeg not found — kept {len(ordered)} part files; concatenate "
+              "them with ffmpeg's concat demuxer", file=sys.stderr)
+        return
+    tmp_fd, tmp_out = tempfile.mkstemp(suffix=ext, dir=os.path.dirname(output) or ".")
+    os.close(tmp_fd)
+    list_fd, list_path = tempfile.mkstemp(suffix=".txt")
+    try:
+        with os.fdopen(list_fd, "w") as f:
+            for p in ordered:
+                escaped = os.path.abspath(p).replace("'", "'\\''")
+                f.write(f"file '{escaped}'\n")
+        proc = subprocess.run(
+            ["ffmpeg", "-y", "-f", "concat", "-safe", "0", "-i", list_path,
+             "-c", "copy", tmp_out],
+            capture_output=True, text=True, timeout=600,
+        )
+        if proc.returncode != 0:
+            print(f"ffmpeg concat failed ({proc.stderr.strip()[-200:]}) — kept "
+                  "the part files", file=sys.stderr)
+            os.unlink(tmp_out)
+            return
+        os.replace(tmp_out, output)
+        for _n, p in parts:
+            os.unlink(p)
+        print(f"auto-concatenated {len(ordered)} parts into {output}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"concat skipped ({e}); part files kept", file=sys.stderr)
+        if os.path.exists(tmp_out):
+            os.unlink(tmp_out)
+    finally:
+        if os.path.exists(list_path):
+            os.unlink(list_path)
 
 
 def cmd_live(args) -> int:
@@ -199,6 +261,9 @@ def cmd_live(args) -> int:
     if not ok:
         print("failed to open source", file=sys.stderr)
         return 1
+    if args.playback_fps is not None and not ctrl.is_camera:
+        # file-source pacing override (reference StatusStrip.cpp:122-158)
+        ctrl.set_playback_fps(args.playback_fps)
     ctrl.play()
     try:
         end = time.monotonic() + args.duration
@@ -349,6 +414,8 @@ def main(argv=None) -> int:
     p.add_argument("--video", default=None)
     p.add_argument("--size", type=int, nargs=2, default=(480, 640))
     p.add_argument("--duration", type=float, default=10.0)
+    p.add_argument("--playback-fps", type=float, default=None,
+                   help="override file-source playback pacing (ignored for cameras)")
     _add_mag_args(p)
     p.set_defaults(fn=cmd_live)
 

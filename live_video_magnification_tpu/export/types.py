@@ -90,4 +90,15 @@ def validate_request(req: ExportRequest, frame_count: Optional[int] = None) -> l
             problems.append(f"start frame beyond clip end ({frame_count})")
         if req.end_frame is not None and req.end_frame > frame_count:
             problems.append(f"end frame beyond clip end ({frame_count})")
+    # The export now carries its OWN editable config (reference
+    # ExportSettingsDialog.cpp:60-200) — validate its numerics too.
+    mag = req.config.magnification
+    if mag.framerate <= 0:
+        problems.append("capture framerate must be positive")
+    if mag.amplification < 0:
+        problems.append("amplification must be >= 0")
+    if mag.levels < 1:
+        problems.append("levels must be >= 1")
+    if req.config.preprocess.downscale not in (1, 2, 4, 8):
+        problems.append("downscale must be 1, 2, 4 or 8")
     return problems

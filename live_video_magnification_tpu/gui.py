@@ -30,6 +30,7 @@ Run: python -m live_video_magnification_tpu.gui [path]
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import sys
 import time
@@ -50,9 +51,13 @@ from live_video_magnification_tpu.export.types import (
 )
 from live_video_magnification_tpu.models.params import (
     MagnificationMode,
+    MagUiValues,
+    PreprocessParams,
+    ProcessorConfig,
     clamp_band_to_nyquist,
     defaults_for,
     to_params,
+    to_ui,
 )
 
 _HEALTH_COLORS = {"ok": "#2e7d32", "warn": "#f9a825", "bad": "#c62828"}
@@ -74,6 +79,71 @@ _SPLITS = [
     ("Side by side", SplitMode.LEFT_RIGHT),
     ("Top / bottom", SplitMode.TOP_BOTTOM),
 ]
+
+
+def canvas_to_norm(img_geom, x, y):
+    """Canvas pixel -> normalized coords within the letterboxed frame, clamped
+    to [0,1] (DisplayWidget.cpp:326-375 pane-confined drag). img_geom is
+    (x0, y0, draw_w, draw_h, frame_w, frame_h); None before the first frame.
+    Pure (headless-testable)."""
+    if img_geom is None:
+        return None
+    x0, y0, dw, dh, _fw, _fh = img_geom
+    return (min(max((x - x0) / dw, 0.0), 1.0), min(max((y - y0) / dh, 0.0), 1.0))
+
+
+def drag_to_roi(p0, p1, min_size: float = 0.01):
+    """Two normalized drag endpoints -> (x, y, w, h) rect, or None when the
+    drag is degenerate (sub-1% in either dimension). Pure."""
+    if p0 is None or p1 is None:
+        return None
+    x = min(p0[0], p1[0])
+    y = min(p0[1], p1[1])
+    w = abs(p1[0] - p0[0])
+    h = abs(p1[1] - p0[1])
+    if w <= min_size or h <= min_size:
+        return None
+    return (x, y, w, h)
+
+
+def trim_set_in(in_frame, out_frame, current):
+    """IN-trim state transition: IN moves to the playhead; an OUT at or before
+    the new IN is discarded (TimelineView out-exclusive semantics). Pure."""
+    new_out = out_frame if (out_frame is None or out_frame > current) else None
+    return current, new_out
+
+
+def trim_set_out(in_frame, out_frame, current):
+    """OUT-trim transition: OUT (exclusive) only moves if strictly after IN."""
+    if current > in_frame:
+        return in_frame, current
+    return in_frame, out_frame
+
+
+def range_label_text(in_frame, out_frame) -> str:
+    """Transport-bar trim readout; empty when the full clip is selected."""
+    if in_frame == 0 and out_frame is None:
+        return ""
+    out = out_frame if out_frame is not None else "end"
+    return f"[{in_frame}..{out})"
+
+
+def build_export_config(live_cfg: ProcessorConfig, ui: MagUiValues, *,
+                        downscale: int, use_roi: bool,
+                        grayscale: bool) -> ProcessorConfig:
+    """Compose the export's OWN ProcessorConfig from the dialog's edited values
+    (reference ExportSettingsDialog.cpp:60-200: an export may use different
+    resolution / ROI / grayscale / magnification params than the live preview).
+    The ROI rect itself always comes from the live state — the dialog only
+    chooses whether to apply it. Pure (headless-testable)."""
+    pre = live_cfg.preprocess
+    if use_roi and pre.roi_enabled:
+        new_pre = dataclasses.replace(pre, downscale=downscale)
+    else:
+        new_pre = PreprocessParams(downscale=downscale)
+    mag = to_params(clamp_band_to_nyquist(ui))
+    return ProcessorConfig(grayscale=grayscale, preprocess=new_pre,
+                           magnification=mag)
 
 
 def _frame_to_photo(tk, img: np.ndarray):
@@ -125,9 +195,11 @@ class CameraSelectDialog:
 class ExportSettingsDialog:
     """Modal export configuration (reference ExportSettingsDialog.cpp):
     pre-seeded split/labels/format/file-fps/frame-range/path with range and
-    overwrite validation. Magnification/preprocess parameters come from the
-    live panel state (the single ProcessorConfig snapshot), so the export can
-    never drift from what the preview shows. Returns an ExportRequest or None."""
+    overwrite validation, PLUS the reference's editable processing section —
+    resolution segment, use-ROI, grayscale, and the full magnification
+    parameter set pre-seeded from (not locked to) the live panel state
+    (ExportSettingsDialog.cpp:60-200), so an export can use different settings
+    than the preview. Returns an ExportRequest (with its own config) or None."""
 
     def __init__(self, root, cfg, *, frame_count: int = 0, in_frame: int = 0,
                  out_frame: Optional[int] = None, default_fps: float = 30.0,
@@ -190,17 +262,75 @@ class ExportSettingsDialog:
             row += 1
         self._frame_count = frame_count
 
-        mag = cfg.magnification
-        ttk.Label(body, text=f"Parameters: {mag.mode.name.lower()}, alpha="
-                             f"{mag.amplification:g} (live panel state)",
-                  foreground="#666").grid(row=row, column=0, columnspan=3, sticky="w")
+        # --- editable processing section (pre-seeded from live state) ------------------------
+        proc = ttk.LabelFrame(body, text="Processing (pre-seeded from live preview)")
+        proc.grid(row=row, column=0, columnspan=3, sticky="ew", pady=(8, 0))
         row += 1
+        ui = to_ui(cfg.magnification)
+        prow = 0
+
+        ttk.Label(proc, text="Mode").grid(row=prow, column=0, sticky="w")
+        self.mode_var = tk.StringVar(
+            value=next((n for n, m in _MODES if m is ui.mode), _MODES[0][0]))
+        mode_box = ttk.Combobox(proc, textvariable=self.mode_var, state="readonly",
+                                values=[n for n, _ in _MODES], width=16)
+        mode_box.grid(row=prow, column=1, sticky="w")
+        mode_box.bind("<<ComboboxSelected>>", lambda e: self._seed_mode_defaults())
+        prow += 1
+
+        def num_entry(label_text, value, width=8):
+            nonlocal prow
+            ttk.Label(proc, text=label_text).grid(row=prow, column=0, sticky="w")
+            var = tk.DoubleVar(value=value)
+            ttk.Entry(proc, textvariable=var, width=width).grid(
+                row=prow, column=1, sticky="w")
+            prow += 1
+            return var
+
+        self.amp_var = num_entry("Amplification", float(ui.amplification))
+        self.wave_var = num_entry("Wavelength %", float(ui.wavelength))
+        self.low_var = num_entry("Band low (Hz)", float(ui.low))
+        self.high_var = num_entry("Band high (Hz)", float(ui.high))
+        self.chroma_var = num_entry("Chroma %", float(ui.chroma))
+        self.levels_var = num_entry("Levels", float(ui.levels))
+        self.capture_fps_var = num_entry("Capture FPS", float(ui.capture_fps))
+
+        ttk.Label(proc, text="Resolution").grid(row=prow, column=0, sticky="w")
+        self.res_var = tk.StringVar(value=f"1/{cfg.preprocess.downscale}")
+        ttk.Combobox(proc, textvariable=self.res_var, state="readonly",
+                     values=["1/1", "1/2", "1/4", "1/8"], width=6).grid(
+            row=prow, column=1, sticky="w")
+        prow += 1
+
+        self.use_roi_var = tk.BooleanVar(value=bool(cfg.preprocess.roi_enabled))
+        roi_chk = ttk.Checkbutton(proc, text="Use live ROI crop",
+                                  variable=self.use_roi_var)
+        roi_chk.grid(row=prow, column=0, columnspan=2, sticky="w")
+        if not cfg.preprocess.roi_enabled:
+            roi_chk.configure(state="disabled")  # no live ROI to apply
+        prow += 1
+
+        self.export_gray_var = tk.BooleanVar(value=bool(cfg.grayscale))
+        ttk.Checkbutton(proc, text="Grayscale", variable=self.export_gray_var
+                        ).grid(row=prow, column=0, columnspan=2, sticky="w")
 
         btns = ttk.Frame(body)
         btns.grid(row=row, column=0, columnspan=3, sticky="e", pady=(8, 0))
         ttk.Button(btns, text="Export", command=self._ok).pack(side="right", padx=4)
         ttk.Button(btns, text="Cancel", command=self.top.destroy).pack(side="right")
         root.wait_window(self.top)
+
+    def _seed_mode_defaults(self):
+        """Switching mode seeds that mode's defaults, like the live panel
+        (MagnificationControls mode-switch semantics)."""
+        mode = dict(_MODES)[self.mode_var.get()]
+        d = defaults_for(mode)
+        self.amp_var.set(float(d.amplification))
+        self.wave_var.set(float(d.wavelength))
+        self.low_var.set(float(d.low))
+        self.high_var.set(float(d.high))
+        self.chroma_var.set(float(d.chroma))
+        self.levels_var.set(float(d.levels))
 
     def _ok(self):
         fmt = dict(_FORMATS)[self.fmt_var.get()]
@@ -214,12 +344,29 @@ class ExportSettingsDialog:
             file_fps = float(self.fps_var.get())
             start = int(self.start_var.get()) if self._allow_range else 0
             end = int(self.end_var.get()) if self._allow_range else None
+            ui = MagUiValues(
+                mode=dict(_MODES)[self.mode_var.get()],
+                amplification=int(float(self.amp_var.get())),
+                wavelength=float(self.wave_var.get()),
+                low=float(self.low_var.get()),
+                high=float(self.high_var.get()),
+                chroma=int(float(self.chroma_var.get())),
+                levels=max(1, int(float(self.levels_var.get()))),
+                capture_fps=float(self.capture_fps_var.get()),
+            )
+            downscale = int(self.res_var.get().split("/")[1])
         except Exception:
             self._messagebox.showerror(
-                "Export", "fps and frame range must be numbers", parent=self.top)
+                "Export", "fps, frame range and parameters must be numbers",
+                parent=self.top)
             return
+        config = build_export_config(
+            self._cfg, ui, downscale=downscale,
+            use_roi=bool(self.use_roi_var.get()),
+            grayscale=bool(self.export_gray_var.get()),
+        )
         req = ExportRequest(
-            config=self._cfg, output_path=path, file_fps=file_fps,
+            config=config, output_path=path, file_fps=file_fps,
             split=split, text_overlay=bool(self.labels_var.get()), format=fmt,
             start_frame=start, end_frame=end,
         )
@@ -361,6 +508,16 @@ class MainWindow:
         ttk.Button(transport, text="✕", width=2, command=self.on_clear_in_out).pack(side="left")
         self.range_label = ttk.Label(transport, text="")
         self.range_label.pack(side="left", padx=4)
+        # Playback-FPS spinbox for file sources (reference StatusStrip.cpp:122-158);
+        # disabled for cameras, which free-run at their reported rate.
+        ttk.Label(transport, text="Playback fps").pack(side="left", padx=(8, 2))
+        self.playback_fps_var = tk.DoubleVar(value=30.0)
+        self.playback_fps_spin = ttk.Spinbox(
+            transport, from_=1, to=240, increment=1, width=6,
+            textvariable=self.playback_fps_var, command=self.on_playback_fps)
+        self.playback_fps_spin.pack(side="left")
+        self.playback_fps_spin.bind("<Return>", lambda e: self.on_playback_fps())
+        self.playback_fps_spin.configure(state="disabled")
 
         # --- status strip --------------------------------------------------------------------
         self.status = tk.Label(self.root, anchor="w", fg="white", bg="#202428")
@@ -506,6 +663,25 @@ class MainWindow:
 
     # --- sources / transport ---------------------------------------------------------------------
 
+    def on_playback_fps(self):
+        """File-source playback pacing (reference StatusStrip.cpp:122-158)."""
+        try:
+            fps = float(self.playback_fps_var.get())
+        except Exception:
+            return
+        if fps > 0 and not self.controller.is_camera:
+            self.controller.set_playback_fps(fps)
+
+    def _sync_playback_fps_control(self):
+        """Enable the spinbox for file sources and seed it with the source rate."""
+        if self.controller.is_camera or self._file_path is None:
+            self.playback_fps_spin.configure(state="disabled")
+        else:
+            reported = self.controller.reported_fps()
+            if reported and reported > 0:
+                self.playback_fps_var.set(round(float(reported), 2))
+            self.playback_fps_spin.configure(state="normal")
+
     def on_open_file(self):
         path = self.filedialog.askopenfilename()
         if path:
@@ -515,6 +691,7 @@ class MainWindow:
             self.push_params()
             self.controller.open_file(path)
             self.controller.play()
+            self._sync_playback_fps_control()
 
     def on_open_camera(self):
         from live_video_magnification_tpu.engine.source import enumerate_cameras
@@ -530,6 +707,7 @@ class MainWindow:
         self.push_params()
         self.controller.open_camera(dlg.result)
         self.controller.play()
+        self._sync_playback_fps_control()
 
     def on_open_synthetic(self):
         self._file_path = None
@@ -558,19 +736,19 @@ class MainWindow:
     def on_set_in(self):
         if not self.controller.seekable():
             return
-        self._in_frame = self.controller.current_frame()
-        if self._out_frame is not None and self._out_frame <= self._in_frame:
-            self._out_frame = None
+        self._in_frame, self._out_frame = trim_set_in(
+            self._in_frame, self._out_frame, self.controller.current_frame())
         self.controller.set_in_out(self._in_frame, self._out_frame or 0)
         self._update_range_label()
 
     def on_set_out(self):
         if not self.controller.seekable():
             return
-        out = self.controller.current_frame()
-        if out > self._in_frame:
-            self._out_frame = out
-            self.controller.set_in_out(self._in_frame, out)
+        before = (self._in_frame, self._out_frame)
+        self._in_frame, self._out_frame = trim_set_out(
+            self._in_frame, self._out_frame, self.controller.current_frame())
+        if (self._in_frame, self._out_frame) != before:
+            self.controller.set_in_out(self._in_frame, self._out_frame)
             self._update_range_label()
 
     def on_clear_in_out(self):
@@ -579,11 +757,8 @@ class MainWindow:
         self._update_range_label()
 
     def _update_range_label(self):
-        if self._in_frame == 0 and self._out_frame is None:
-            self.range_label.configure(text="")
-        else:
-            out = self._out_frame if self._out_frame is not None else "end"
-            self.range_label.configure(text=f"[{self._in_frame}..{out})")
+        self.range_label.configure(
+            text=range_label_text(self._in_frame, self._out_frame))
 
     # --- export ----------------------------------------------------------------------------------
 
@@ -732,10 +907,7 @@ class MainWindow:
     # --- ROI drag ------------------------------------------------------------------------------
 
     def _canvas_to_norm(self, x, y):
-        if self._img_geom is None:
-            return None
-        x0, y0, dw, dh, _, _ = self._img_geom
-        return (min(max((x - x0) / dw, 0.0), 1.0), min(max((y - y0) / dh, 0.0), 1.0))
+        return canvas_to_norm(self._img_geom, x, y)
 
     def on_roi_press(self, e):
         self._roi_start = (e.x, e.y)
@@ -757,19 +929,18 @@ class MainWindow:
         if self._roi_rect_id is not None:
             self.canvas.delete(self._roi_rect_id)
             self._roi_rect_id = None
-        if p0 is None or p1 is None:
-            return
-        x = min(p0[0], p1[0])
-        y = min(p0[1], p1[1])
-        w = abs(p1[0] - p0[0])
-        h = abs(p1[1] - p0[1])
-        if w > 0.01 and h > 0.01:
-            self.controller.set_roi(x, y, w, h)
+        rect = drag_to_roi(p0, p1)
+        if rect is not None:
+            self.controller.set_roi(*rect)
 
     # --- timers --------------------------------------------------------------------------------
 
     def _set_view(self):
-        self.display.view_mode = ViewMode(self.view_var.get())
+        mode = ViewMode(self.view_var.get())
+        self.display.view_mode = mode
+        # "Original" shows only the untouched frame, so skip the (heavy)
+        # magnification (reference MainWindow.cpp:199-204).
+        self.controller.set_magnify_active(mode is not ViewMode.ORIGINAL)
 
     def _poll_display(self):
         view = self.display.poll_once()

@@ -20,6 +20,7 @@ Device-side: everything per-pixel, in planar [C, H, W] uint8/f32.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -76,6 +77,10 @@ class _StaticKey(NamedTuple):
     grayscale: bool
     geometry: Tuple[int, int, int, int, int, int]
     framerate: float
+    # Kernel-variant flag (LVMT_PHASE_FUSED), resolved ONCE at static_key time so
+    # toggling the env var after a chain compiled cannot serve a stale trace —
+    # the jit cache is keyed on it (ADVICE round-2).
+    phase_fused: bool = False
 
 
 class ChainStep(NamedTuple):
@@ -131,7 +136,7 @@ def _build_step(key: _StaticKey) -> ChainStep:
         model_step = partial(color_mode.step, levels=levels, framerate=key.framerate)
         init = lambda: color_mode.init_state(oh, ow, key.channels, levels, key.framerate)
     elif mode is MagnificationMode.PHASE and key.channels >= 3:
-        model_step = partial(riesz_mode.step, levels=levels)
+        model_step = partial(riesz_mode.step, levels=levels, phase_fused=key.phase_fused)
         init = lambda: riesz_mode.init_state(oh, ow, levels)
     else:  # NONE, too-small frames (levels < 1), or phase-on-gray: identity
         model_step = None
@@ -262,6 +267,7 @@ class MagnificationChain:
         return _StaticKey(
             mode, levels, mag_channels, channels, h, w, bool(cfg.grayscale), geometry,
             float(cfg.magnification.framerate),
+            os.environ.get("LVMT_PHASE_FUSED", "0") == "1",
         )
 
     def process(self, frame_u8_hwc, cfg: ProcessorConfig):

@@ -30,6 +30,7 @@ from live_video_magnification_tpu.ops.pyramid import (
 )
 from live_video_magnification_tpu.ops.temporal import (
     ideal_bandpass_apply,
+    minmax_normalize,
     optimal_buffer_size,
 )
 
@@ -82,12 +83,11 @@ def step(
     filtered = ideal_bandpass_apply(
         window.reshape(w_static, -1), length, dyn.co_low, dyn.co_high, framerate
     )
-    # normalize(0,1,MINMAX) over the active window, all channels jointly
+    # normalize(0,1,MINMAX) over the active window, all channels jointly; an
+    # empty bandpass mask yields a constant window which OpenCV maps to zeros
+    # (guard inside minmax_normalize, reference-C++-verified)
     row_valid = (jnp.arange(w_static) < length)[:, None]
-    big = jnp.asarray(jnp.finfo(jnp.float32).max)
-    mn = jnp.min(jnp.where(row_valid, filtered, big))
-    mx = jnp.max(jnp.where(row_valid, filtered, -big))
-    filtered = (filtered - mn) / (mx - mn)
+    filtered = minmax_normalize(filtered, valid_mask=row_valid)
 
     filtered = filtered * dyn.amplification.astype(jnp.float32)
 
@@ -186,10 +186,7 @@ def process_clip_parallel(
             window_fp, length, dyn.co_low, dyn.co_high, framerate
         )
         row_valid = (jnp.arange(n_win) < length)[:, None]
-        big = jnp.asarray(jnp.finfo(jnp.float32).max)
-        mn = jnp.min(jnp.where(row_valid, filtered, big))
-        mx = jnp.max(jnp.where(row_valid, filtered, -big))
-        filtered = (filtered - mn) / (mx - mn)
+        filtered = minmax_normalize(filtered, valid_mask=row_valid)
         filtered = filtered * dyn.amplification.astype(jnp.float32)
         col = jnp.minimum(1, length - 1)
         small_f = jax.lax.dynamic_index_in_dim(filtered, col, 0, keepdims=False)

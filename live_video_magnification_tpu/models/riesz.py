@@ -96,6 +96,7 @@ def step(
     *,
     levels: int,
     use_pallas: bool | None = None,
+    phase_fused: bool = False,
 ) -> Tuple[RieszState, jnp.ndarray]:
     lab = bgr_to_lab(u8_to_unit_f32(frame_u8))
     luma = lab[0]
@@ -135,9 +136,10 @@ def step(
     new_lo: List[FilterLevelState] = []
     new_hi: List[FilterLevelState] = []
     lowpasses: List[jnp.ndarray] = []
-    import os as _os
 
-    phase_kernel = _os.environ.get("LVMT_PHASE_FUSED", "0") == "1"
+    # Resolved by the CALLER at build time (chain static key / bench flag), never
+    # from the environment inside a traced body (ADVICE round-2).
+    phase_kernel = phase_fused
     for lvl in range(levels - 1):
         lh, lw = cur[lvl].lowpass.shape[-2], cur[lvl].lowpass.shape[-1]
         fused_tail = cur[lvl].lowpass.ndim == 2 and min(lh, lw) >= 16 and (

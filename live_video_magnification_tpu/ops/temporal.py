@@ -118,7 +118,15 @@ def ideal_bandpass_apply(window: jnp.ndarray, count, cutoff_lo, cutoff_hi, frame
 
 
 def minmax_normalize(x: jnp.ndarray, valid_mask: jnp.ndarray | None = None):
-    """cv::normalize(..., 0, 1, NORM_MINMAX) over the whole array (all channels)."""
+    """cv::normalize(..., 0, 1, NORM_MINMAX) over the whole array (all channels).
+
+    OpenCV guards the degenerate constant input: scale = (max-min > DBL_EPSILON)
+    ? 1/(max-min) : 0, shift = dmin - smin*scale = 0, so a constant array maps to
+    all-ZEROS (core/src/norm.cpp normalize()) — not NaN. This happens for real in
+    color mode whenever the ideal bandpass mask is empty (no integer DFT bin in
+    [fl, fh], e.g. a part-filled window at low fps: TemporalFilter.cpp:66-71),
+    verified against the compiled reference core in
+    tests/test_reference_cpp_parity.py."""
     if valid_mask is not None:
         big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
         mn = jnp.min(jnp.where(valid_mask, x, big))
@@ -126,7 +134,9 @@ def minmax_normalize(x: jnp.ndarray, valid_mask: jnp.ndarray | None = None):
     else:
         mn = jnp.min(x)
         mx = jnp.max(x)
-    return (x - mn) / (mx - mn)
+    delta = mx - mn
+    inv = jnp.where(delta > 2.220446049250313e-16, 1.0 / delta, 0.0)
+    return (x - mn) * inv
 
 
 # --- Butterworth design (host-side, float64) ----------------------------------------------------

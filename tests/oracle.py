@@ -115,7 +115,11 @@ def _ideal_filter(window, lo, hi, fps):
         tmp = cv2.idft(tmp, flags=cv2.DFT_ROWS | cv2.DFT_SCALE)
         outs.append(tmp[: cur.shape[0], :])
     dst = outs[0] if window.ndim == 2 else np.stack(outs, axis=-1)
-    mn, mx = dst.min(), dst.max()
+    mn, mx = float(dst.min()), float(dst.max())
+    # cv::normalize NORM_MINMAX guard: constant input -> scale 0, shift dmin=0
+    # (empty bandpass mask case; verified vs the compiled reference core).
+    if mx - mn <= np.finfo(np.float64).eps:
+        return np.zeros_like(dst)
     return (dst - mn) / (mx - mn)
 
 

@@ -3,9 +3,10 @@
 The WHOLE chain — ROI crop + INTER_AREA downscale + grayscale + magnification
 — against the cv2/scipy ChainOracle on >=480p footage with subpixel motion and
 multiple temporal frequencies, over >=60 frames, at the BASELINE.md PSNR
->= 40 dB bound. (The reference binary itself isn't buildable in this image —
-the oracle is a literal cv2 reimplementation of MagnifyCore.hpp, golden-tested
-per-op elsewhere.)
+>= 40 dB bound. The ChainOracle proxy is itself validated against the COMPILED
+reference math core (g++ + system OpenCV over the unmodified reference sources)
+in tests/test_reference_cpp_parity.py, which also asserts the JAX chain
+directly against the real C++ outputs.
 """
 
 import numpy as np

@@ -100,9 +100,11 @@ def test_live_synthetic_runs(capsys):
                      "--mode", "laplace"]) == 0
 
 
-def test_magnify_resume_writes_part_file_not_truncating(clip_path, tmp_path):
+def test_magnify_resume_writes_part_file_not_truncating(clip_path, tmp_path,
+                                                        monkeypatch):
     """A resumed run must NOT truncate the partial output of the interrupted
     run (cv2.VideoWriter reopening would); it writes a .fromN part file."""
+    monkeypatch.setattr(cli, "_concat_resumed_parts", lambda p: None)
     out = str(tmp_path / "out.avi")
     ck = str(tmp_path / "ck")
     # "interrupted" run: first 8 frames, checkpointed
@@ -116,6 +118,59 @@ def test_magnify_resume_writes_part_file_not_truncating(clip_path, tmp_path):
     assert _read(out).shape[0] == 8  # untouched
     part = str(tmp_path / "out.from8.avi")
     assert _read(part).shape[0] == 6  # frames 8..13
+
+
+def test_concat_resumed_parts_with_ffmpeg(tmp_path, monkeypatch, capsys):
+    """Auto-concat of resume part files (VERDICT round-2 item 6c): with ffmpeg
+    on PATH the parts are merged in frame order into the original output and
+    the part files removed. A stub ffmpeg validates the concat list."""
+    out = tmp_path / "clip.avi"
+    out.write_bytes(b"BASE")
+    (tmp_path / "clip.from8.avi").write_bytes(b"P8")
+    (tmp_path / "clip.from20.avi").write_bytes(b"P20")
+    bin_dir = tmp_path / "bin"
+    bin_dir.mkdir()
+    stub = bin_dir / "ffmpeg"
+    # replays the concat list into the -y output so order is observable
+    stub.write_text(
+        "#!/bin/sh\n"
+        "# argv: -y -f concat -safe 0 -i <list> -c copy <out>\n"
+        "lst=$7; dst=${10}\n"
+        "grep \"^file \" \"$lst\" | sed \"s/^file '//;s/'$//\" | "
+        "while read f; do cat \"$f\" >> \"$dst\"; done\n")
+    stub.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
+    cli._concat_resumed_parts(str(out))
+    assert out.read_bytes() == b"BASEP8P20"  # numeric order, not lexicographic
+    assert not (tmp_path / "clip.from8.avi").exists()
+    assert not (tmp_path / "clip.from20.avi").exists()
+
+
+def test_concat_resumed_parts_without_ffmpeg(tmp_path, monkeypatch, capsys):
+    """Without ffmpeg the parts are kept and the manual instruction printed."""
+    out = tmp_path / "clip.avi"
+    out.write_bytes(b"BASE")
+    (tmp_path / "clip.from8.avi").write_bytes(b"P8")
+    monkeypatch.setenv("PATH", str(tmp_path / "definitely-empty"))
+    cli._concat_resumed_parts(str(out))
+    assert out.read_bytes() == b"BASE"
+    assert (tmp_path / "clip.from8.avi").exists()
+    assert "ffmpeg not found" in capsys.readouterr().err
+
+
+def test_live_playback_fps_flag_wires_to_controller(clip_path, monkeypatch):
+    """`lvmt live --playback-fps` drives PlaybackController.set_playback_fps
+    for file sources (VERDICT round-2 item 6a; StatusStrip.cpp:122-158)."""
+    from live_video_magnification_tpu.engine.controller import PlaybackController
+
+    calls = []
+    orig = PlaybackController.set_playback_fps
+    monkeypatch.setattr(PlaybackController, "set_playback_fps",
+                        lambda self, fps: (calls.append(fps),
+                                           orig(self, fps))[1])
+    assert cli.main(["live", "--video", clip_path, "--duration", "0.5",
+                     "--playback-fps", "12.5", "--mode", "laplace"]) == 0
+    assert 12.5 in calls
 
 
 def test_magnify_split_composition(clip_path, tmp_path):

@@ -1,0 +1,157 @@
+"""Headless unit tests for the GUI's extracted pure logic (VERDICT round-2
+item 4): ROI canvas mapping, in/out trim state machine, export-config
+assembly. The tkinter MainWindow itself is driven end-to-end under xvfb in CI
+(tests/test_gui_xvfb.py); these tests cover the same logic without a display.
+"""
+
+import dataclasses
+
+import pytest
+
+from live_video_magnification_tpu.export.types import (
+    ExportFormat,
+    ExportRequest,
+    SplitMode,
+    validate_request,
+)
+from live_video_magnification_tpu.gui import (
+    build_export_config,
+    canvas_to_norm,
+    drag_to_roi,
+    range_label_text,
+    trim_set_in,
+    trim_set_out,
+)
+from live_video_magnification_tpu.models.params import (
+    MagnificationMode,
+    MagnificationParams,
+    MagUiValues,
+    PreprocessParams,
+    ProcessorConfig,
+    to_ui,
+)
+
+
+# ------------------------------------------------------------- canvas / ROI
+
+def test_canvas_to_norm_maps_and_clamps():
+    geom = (100, 50, 200, 100, 640, 480)  # x0, y0, dw, dh, fw, fh
+    assert canvas_to_norm(geom, 100, 50) == (0.0, 0.0)
+    assert canvas_to_norm(geom, 300, 150) == (1.0, 1.0)
+    assert canvas_to_norm(geom, 200, 100) == (0.5, 0.5)
+    # outside the letterboxed pane clamps to the pane edge
+    assert canvas_to_norm(geom, 0, 0) == (0.0, 0.0)
+    assert canvas_to_norm(geom, 900, 900) == (1.0, 1.0)
+    assert canvas_to_norm(None, 10, 10) is None  # before the first frame
+
+
+def test_drag_to_roi_normalizes_any_direction():
+    # up-left drag == down-right drag
+    assert drag_to_roi((0.8, 0.7), (0.2, 0.1)) == pytest.approx((0.2, 0.1, 0.6, 0.6))
+    assert drag_to_roi((0.2, 0.1), (0.8, 0.7)) == pytest.approx((0.2, 0.1, 0.6, 0.6))
+
+
+def test_drag_to_roi_rejects_degenerate():
+    assert drag_to_roi((0.5, 0.5), (0.505, 0.9)) is None  # sub-1% width
+    assert drag_to_roi((0.5, 0.5), (0.9, 0.505)) is None  # sub-1% height
+    assert drag_to_roi(None, (0.9, 0.9)) is None          # no frame yet
+
+
+# ------------------------------------------------------------- trim machine
+
+def test_trim_set_in_discards_stale_out():
+    assert trim_set_in(0, None, 10) == (10, None)
+    assert trim_set_in(0, 50, 10) == (10, 50)      # out still after in: kept
+    assert trim_set_in(0, 10, 10) == (10, None)    # out == new in: discarded
+    assert trim_set_in(0, 5, 10) == (10, None)     # out before new in: discarded
+
+
+def test_trim_set_out_requires_after_in():
+    assert trim_set_out(10, None, 30) == (10, 30)
+    assert trim_set_out(10, 30, 5) == (10, 30)     # rejected, unchanged
+    assert trim_set_out(10, 30, 10) == (10, 30)    # == in rejected (exclusive)
+
+
+def test_range_label_text():
+    assert range_label_text(0, None) == ""
+    assert range_label_text(5, None) == "[5..end)"
+    assert range_label_text(5, 90) == "[5..90)"
+
+
+# ------------------------------------------------------- export config edit
+
+def _live_cfg(roi=True):
+    pre = PreprocessParams(downscale=2)
+    if roi:
+        pre = dataclasses.replace(pre, roi_enabled=True, roi_x=0.1, roi_y=0.2,
+                                  roi_w=0.5, roi_h=0.6)
+    return ProcessorConfig(
+        grayscale=False, preprocess=pre,
+        magnification=MagnificationParams(
+            mode=MagnificationMode.PHASE, amplification=50.0, co_wavelength=50.0,
+            co_low=1.0, co_high=5.0, levels=5, framerate=30.0))
+
+
+def test_build_export_config_independent_of_live():
+    """The export dialog can produce params != live state (reference
+    ExportSettingsDialog.cpp:60-200): different mode, alpha, resolution,
+    grayscale — while live config is untouched."""
+    live = _live_cfg()
+    ui = MagUiValues(mode=MagnificationMode.LAPLACE, amplification=80,
+                     wavelength=40.0, low=0.5, high=3.0, chroma=10, levels=3,
+                     capture_fps=30.0)
+    cfg = build_export_config(live, ui, downscale=4, use_roi=True, grayscale=True)
+    assert cfg.magnification.mode is MagnificationMode.LAPLACE
+    assert cfg.magnification.amplification == 80.0
+    assert cfg.magnification.levels == 3
+    assert cfg.grayscale is True
+    assert cfg.preprocess.downscale == 4
+    # ROI rect preserved from live state
+    assert cfg.preprocess.roi_enabled and cfg.preprocess.roi_x == 0.1
+    # live config untouched
+    assert live.magnification.mode is MagnificationMode.PHASE
+    assert live.preprocess.downscale == 2
+
+
+def test_build_export_config_drop_roi():
+    cfg = build_export_config(_live_cfg(), to_ui(_live_cfg().magnification),
+                              downscale=1, use_roi=False, grayscale=False)
+    assert not cfg.preprocess.roi_enabled
+    assert cfg.preprocess.downscale == 1
+
+
+def test_build_export_config_clamps_band_to_nyquist():
+    ui = MagUiValues(mode=MagnificationMode.COLOR, amplification=100,
+                     low=0.8, high=40.0, levels=3, capture_fps=30.0)
+    cfg = build_export_config(_live_cfg(), ui, downscale=1, use_roi=False,
+                              grayscale=False)
+    assert cfg.magnification.co_high <= 15.0  # fps/2
+
+
+def test_validate_request_covers_config_numerics(tmp_path):
+    bad = dataclasses.replace(
+        _live_cfg(),
+        preprocess=PreprocessParams(downscale=3),
+        magnification=dataclasses.replace(
+            _live_cfg().magnification, framerate=0.0, amplification=-1.0,
+            levels=0))
+    req = ExportRequest(config=bad, output_path=str(tmp_path / "o.mp4"),
+                        file_fps=30.0, split=SplitMode.NONE, text_overlay=False,
+                        format=ExportFormat.MP4_H264)
+    problems = validate_request(req, 100)
+    joined = "\n".join(problems)
+    assert "framerate" in joined
+    assert "amplification" in joined
+    assert "levels" in joined
+    assert "downscale" in joined
+
+
+def test_validate_request_accepts_edited_config(tmp_path):
+    ui = MagUiValues(mode=MagnificationMode.LAPLACE, amplification=20,
+                     low=1.0, high=5.0, levels=4, capture_fps=30.0)
+    cfg = build_export_config(_live_cfg(), ui, downscale=8, use_roi=True,
+                              grayscale=False)
+    req = ExportRequest(config=cfg, output_path=str(tmp_path / "o.mp4"),
+                        file_fps=30.0, split=SplitMode.LEFT_RIGHT,
+                        text_overlay=True, format=ExportFormat.MP4_H264)
+    assert validate_request(req, 100) == []

@@ -204,14 +204,14 @@ def test_riesz_phase_df2_fused_matches_jnp():
                                        atol=1e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("phase_fused", ["1", "0"])
+@pytest.mark.parametrize("phase_fused", [True, False])
 def test_riesz_step_with_all_pallas_kernels_matches_jnp_step(monkeypatch, phase_fused):
     """The full phase step with use_pallas=True, every Pallas entry point
     forced to interpret mode — exercises the real wiring (MXU build/collapse,
     riesz_phase_df2_fused, preweighted riesz_amplify_fused) vs the jnp step.
-    Default (LVMT_PHASE_FUSED=0) is the jnp phase front + fused blur/amplify
-    tail; =1 swaps in the all-in-one phase Pallas kernel."""
-    monkeypatch.setenv("LVMT_PHASE_FUSED", phase_fused)
+    Default (phase_fused=False) is the jnp phase front + fused blur/amplify
+    tail; True swaps in the all-in-one phase Pallas kernel. The flag is now an
+    explicit build-time argument, not a trace-time env read (ADVICE round-2)."""
     import functools
     import math
 
@@ -251,7 +251,7 @@ def test_riesz_step_with_all_pallas_kernels_matches_jnp_step(monkeypatch, phase_
         st_ref, o_ref = riesz_mode.step(st_ref, chw, dyn, levels=levels,
                                         use_pallas=False)
         st_fus, o_fus = riesz_mode.step(st_fus, chw, dyn, levels=levels,
-                                        use_pallas=True)
+                                        use_pallas=True, phase_fused=phase_fused)
         d = np.abs(np.asarray(o_ref).astype(np.int16)
                    - np.asarray(o_fus).astype(np.int16))
         assert d.max() <= 1, f"max diff {d.max()} LSB"
