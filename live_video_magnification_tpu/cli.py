@@ -401,7 +401,10 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--time-parallel", action="store_true",
                    help="sequence-parallel chunks (associative scans over T) "
-                        "instead of the sequential per-frame scan")
+                        "instead of the sequential per-frame scan; bit-identical "
+                        "output, intended for T-axis-sharded multi-chip meshes — "
+                        "on a single device the default sequential scan is "
+                        "3-4x faster (docs/TIME_PARALLEL.md)")
     p.add_argument("--split", default="none",
                    choices=["none", "left-right", "top-bottom"],
                    help="compose original|processed panes like the GUI export")

@@ -261,10 +261,11 @@ def process_clip_parallel(
     frame, normalize/amplify, collapse) is batched over T with vmap; the only
     truly sequential parts — the quaternionic phase accumulation
     (TemporalFilter.cpp:340-351's `itsPhase += phaseDiff`) and the lo/hi
-    Butterworth DF-II registers — become a cumsum and an associative affine
-    scan (`df2_filter_parallel`), both O(log T) depth. Under a mesh with the T
-    axis sharded this is the sequence-parallel export path: XLA splits the
-    scans into local scans plus shard-boundary combines over ICI.
+    Butterworth DF-II registers — fuse into ONE 5-component associative affine
+    scan per (cos|sin) component (`df2_dual_filter_parallel`), O(log T) depth.
+    Under a mesh with the T axis sharded this is the sequence-parallel export
+    path: XLA splits the scans into local scans plus shard-boundary combines
+    over ICI.
 
     `state` enables chunked continuation (prior pyramid, accumulated phase and
     DF-II registers are carried); a cold start (state=None) seeds from the
@@ -278,7 +279,7 @@ def process_clip_parallel(
     shift u8 rounding, so parity tests should use realistic fixtures or a
     tolerance).
     """
-    from live_video_magnification_tpu.ops.temporal import df2_filter_parallel
+    from live_video_magnification_tpu.ops.temporal import df2_dual_filter_parallel
 
     t = frames_u8.shape[0]
     h, w = frames_u8.shape[-2], frames_u8.shape[-1]
@@ -293,22 +294,23 @@ def process_clip_parallel(
 
     labs, pyrs = jax.vmap(front)(frames_u8)  # leaves [T, lh, lw]
 
-    def df2_pair(phase: CompExp, fls: FilterLevelState, b, a):
-        def masked(x):
-            return jnp.where(first, jnp.zeros_like(x), x)
+    def masked(x):
+        return jnp.where(first, jnp.zeros_like(x), x)
 
-        yc, r0c, r1c = df2_filter_parallel(
-            phase.cos, b, a, reg0_init=masked(fls.reg0.cos), reg1_init=masked(fls.reg1.cos)
+    def dual(diff, lo_fls: FilterLevelState, hi_fls: FilterLevelState, comp):
+        """Fused phase-accumulate + lo&hi DF-II for one (cos|sin) component:
+        ONE 5-plane associative scan instead of 2 cumsums + 4 register scans
+        (df2_dual_filter_parallel). The lo/hi phase accumulators are a single
+        shared plane — the reference resets both filters together
+        (MagnifyCore.hpp:243-254) and feeds both the same diff, so they are
+        identical by construction (init_state zeroes both)."""
+        sel = (lambda ce: ce.cos) if comp == 0 else (lambda ce: ce.sin)
+        return df2_dual_filter_parallel(
+            sel(diff), dyn.b_lo, dyn.a_lo, dyn.b_hi, dyn.a_hi,
+            acc_init=masked(sel(lo_fls.phase)),
+            lo_init=(masked(sel(lo_fls.reg0)), masked(sel(lo_fls.reg1))),
+            hi_init=(masked(sel(hi_fls.reg0)), masked(sel(hi_fls.reg1))),
         )
-        ys, r0s, r1s = df2_filter_parallel(
-            phase.sin, b, a, reg0_init=masked(fls.reg0.sin), reg1_init=masked(fls.reg1.sin)
-        )
-        final = FilterLevelState(
-            CompExp(phase.cos[-1], phase.sin[-1]),
-            CompExp(r0c[-1], r0s[-1]),
-            CompExp(r1c[-1], r1s[-1]),
-        )
-        return CompExp(yc, ys), final
 
     lowpasses: List[jnp.ndarray] = []
     new_lo: List[FilterLevelState] = []
@@ -324,24 +326,17 @@ def process_clip_parallel(
             cur, state.old[lvl],
         )
         pr = jax.vmap(phase_difference_and_amplitude)(cur, prior)
-        # Phase unwrap state: accumulated quaternionic phase differences on top
-        # of the carried accumulators (zero on a cold start).
-        def acc(diff, carried):
-            carried = jnp.where(first, jnp.zeros_like(carried), carried)
-            return carried[None] + jnp.cumsum(diff, axis=0)
-
-        phase_lo = CompExp(
-            acc(pr.phase_diff.cos, state.lo[lvl].phase.cos),
-            acc(pr.phase_diff.sin, state.lo[lvl].phase.sin),
-        )
-        phase_hi = CompExp(
-            acc(pr.phase_diff.cos, state.hi[lvl].phase.cos),
-            acc(pr.phase_diff.sin, state.hi[lvl].phase.sin),
-        )
-        lo_res, lo_final = df2_pair(phase_lo, state.lo[lvl], dyn.b_lo, dyn.a_lo)
-        hi_res, hi_final = df2_pair(phase_hi, state.hi[lvl], dyn.b_hi, dyn.a_hi)
-        new_lo.append(lo_final)
-        new_hi.append(hi_final)
+        ylo_c, yhi_c, acc_c, fin_c = dual(pr.phase_diff, state.lo[lvl],
+                                          state.hi[lvl], 0)
+        ylo_s, yhi_s, acc_s, fin_s = dual(pr.phase_diff, state.lo[lvl],
+                                          state.hi[lvl], 1)
+        lo_res = CompExp(ylo_c, ylo_s)
+        hi_res = CompExp(yhi_c, yhi_s)
+        acc_final = CompExp(fin_c[0], fin_s[0])
+        new_lo.append(FilterLevelState(
+            acc_final, CompExp(fin_c[1], fin_s[1]), CompExp(fin_c[2], fin_s[2])))
+        new_hi.append(FilterLevelState(
+            acc_final, CompExp(fin_c[3], fin_s[3]), CompExp(fin_c[4], fin_s[4])))
         normalized = jax.vmap(normalize_phase)(
             hi_res, lo_res, pr.amplitude, pr.amplitude_blurred
         )

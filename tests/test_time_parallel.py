@@ -115,6 +115,68 @@ def test_df2_parallel_chunked_continuation():
     np.testing.assert_allclose(np.asarray(got), np.asarray(y_full), atol=1e-5)
 
 
+def test_df2_dual_parallel_matches_sequential_step():
+    """The fused 5-component scan (phase acc + lo&hi DF-II in ONE
+    associative_scan) == iterating riesz_df2_step per frame, cold and warm."""
+    from live_video_magnification_tpu.ops.temporal import (
+        CompExp,
+        df2_dual_filter_parallel,
+        riesz_df2_step,
+    )
+
+    rng = np.random.default_rng(11)
+    t, shape = 17, (4, 6)
+    diffs = rng.standard_normal((t,) + shape).astype(np.float32) * 0.1
+    b_lo, a_lo = butterworth_bandpass_coeffs(0.5, FPS)
+    b_hi, a_hi = butterworth_bandpass_coeffs(3.0, FPS)
+    b_lo, a_lo, b_hi, a_hi = (jnp.asarray(x, jnp.float32)
+                              for x in (b_lo, a_lo, b_hi, a_hi))
+
+    for warm in (False, True):
+        if warm:
+            acc0 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            lo0 = tuple(jnp.asarray(rng.standard_normal(shape), jnp.float32)
+                        for _ in range(2))
+            hi0 = tuple(jnp.asarray(rng.standard_normal(shape), jnp.float32)
+                        for _ in range(2))
+        else:
+            acc0 = jnp.zeros(shape, jnp.float32)
+            lo0 = (jnp.zeros(shape, jnp.float32),) * 2
+            hi0 = (jnp.zeros(shape, jnp.float32),) * 2
+
+        # sequential reference: riesz_df2_step per filter, shared phase acc
+        def seq():
+            z = jnp.zeros(shape, jnp.float32)
+            acc_l = CompExp(acc0, z)
+            acc_h = CompExp(acc0, z)
+            r0l, r1l = CompExp(lo0[0], z), CompExp(lo0[1], z)
+            r0h, r1h = CompExp(hi0[0], z), CompExp(hi0[1], z)
+            ylos, yhis = [], []
+            for i in range(t):
+                d = CompExp(jnp.asarray(diffs[i]), z)
+                yl, acc_l, r0l, r1l = riesz_df2_step(acc_l, r0l, r1l, d, b_lo, a_lo)
+                yh, acc_h, r0h, r1h = riesz_df2_step(acc_h, r0h, r1h, d, b_hi, a_hi)
+                ylos.append(yl.cos)
+                yhis.append(yh.cos)
+            return (np.asarray(jnp.stack(ylos)), np.asarray(jnp.stack(yhis)),
+                    np.asarray(acc_l.cos), np.asarray(r0l.cos), np.asarray(r1l.cos),
+                    np.asarray(r0h.cos), np.asarray(r1h.cos))
+
+        kw = {}
+        if warm:
+            kw = dict(acc_init=acc0, lo_init=lo0, hi_init=hi0)
+        y_lo, y_hi, acc, fin = df2_dual_filter_parallel(
+            jnp.asarray(diffs), b_lo, a_lo, b_hi, a_hi, **kw)
+        ref_ylo, ref_yhi, ref_acc, ref_r0l, ref_r1l, ref_r0h, ref_r1h = seq()
+        np.testing.assert_allclose(np.asarray(y_lo), ref_ylo, atol=3e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(y_hi), ref_yhi, atol=3e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(acc[-1]), ref_acc, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(fin[1]), ref_r0l, atol=3e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(fin[2]), ref_r1l, atol=3e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(fin[3]), ref_r0h, atol=3e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(fin[4]), ref_r1h, atol=3e-5, rtol=1e-4)
+
+
 # --- parallel clip == sequential clip (riesz / color) --------------------------------------------
 
 
