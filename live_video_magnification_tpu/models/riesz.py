@@ -140,10 +140,18 @@ def step(
     # Resolved by the CALLER at build time (chain static key / bench flag), never
     # from the environment inside a traced body (ADVICE round-2).
     phase_kernel = phase_fused
+    from live_video_magnification_tpu.ops.riesz import _use_amplify_kernel
+
     for lvl in range(levels - 1):
         lh, lw = cur[lvl].lowpass.shape[-2], cur[lvl].lowpass.shape[-1]
+        # The TAIL defaults to jnp even when the MXU build/collapse kernels are
+        # on: the jnp normalize+amplify (XLA-fused blurs) measured FASTER than
+        # riesz_amplify_fused at 4K (5.64 vs 7.26 ms, same-day A/B — see
+        # _use_amplify_kernel). use_pallas=True still forces the kernel
+        # (tests); LVMT_TAIL=pallas re-enables it for A/B.
         fused_tail = cur[lvl].lowpass.ndim == 2 and min(lh, lw) >= 16 and (
-            use_pallas if use_pallas is not None else _use_fused_build(lh, lw)
+            use_pallas if use_pallas is not None
+            else (_use_fused_build(lh, lw) and (phase_kernel or _use_amplify_kernel()))
         )
         if fused_tail and phase_kernel:
             from live_video_magnification_tpu.ops.pallas.riesz_amplify import (

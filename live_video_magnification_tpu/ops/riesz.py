@@ -82,6 +82,18 @@ def _use_fused_build(h: int, w: int) -> bool:
     return jax.default_backend() != "cpu"
 
 
+def _use_amplify_kernel() -> bool:
+    """Whether the streaming tail uses the riesz_amplify_fused Pallas kernel
+    (LVMT_TAIL=pallas) instead of the default jnp normalize+amplify.
+
+    Default is the JNP tail: same-session 4K A/B (2026-08-21, docs/ROOFLINE.md)
+    measured the XLA-fused shifted-add 13-tap blurs at 5.64 ms/frame vs the
+    kernel's 7.26 ms — the kernel's per-tap scratch-ref accumulation costs more
+    than the lane relayouts it avoids. The MXU build/collapse kernels remain on
+    (full-jnp everything measured 75.6 ms)."""
+    return os.environ.get("LVMT_TAIL", "jnp") == "pallas"
+
+
 def build_riesz_pyramid(
     frame: jnp.ndarray, levels: int, use_pallas: bool | None = None
 ) -> List[RieszLevel]:
