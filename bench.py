@@ -297,6 +297,19 @@ def run_matrix(steps: int) -> list:
     # config 5 proxy (single chip): sequence-parallel batch export chunk.
     # T=8 at 1080p: the parallel form materializes O(T)-sized intermediates
     # per level; T=32 overflows the 16 GB HBM of one v5e chip.
+    def bf16_4k():
+        import os as _os
+
+        _os.environ["LVMT_MXU_DTYPE"] = "bf16"
+        try:
+            return bench_mode_scan("phase", 2160, 3840, 6, steps)
+        finally:
+            _os.environ["LVMT_MXU_DTYPE"] = "f32"
+
+    add("phase_4k_bf16_fastmode_fps_per_chip", 60.0, bf16_4k,
+        note="LVMT_MXU_DTYPE=bf16 opt-in fast mode (bf16-operand banded "
+             "stencils, f32 accumulate): 44.1 dB vs the f32 path on 720p "
+             "video-like content (MXU_BF16_AB.json); default stays f32")
     add("phase_1080p_timeparallel_fps_per_chip", 60.0,
         lambda: bench_time_parallel("phase", 1080, 1920, 6, t_chunk=8),
         note="process_clip_parallel T=8 chunk (config-5 single-chip proxy)")

@@ -77,10 +77,14 @@ class _StaticKey(NamedTuple):
     grayscale: bool
     geometry: Tuple[int, int, int, int, int, int]
     framerate: float
-    # Kernel-variant flag (LVMT_PHASE_FUSED), resolved ONCE at static_key time so
-    # toggling the env var after a chain compiled cannot serve a stale trace —
-    # the jit cache is keyed on it (ADVICE round-2).
+    # Kernel-variant flags (LVMT_PHASE_FUSED / LVMT_TAIL / LVMT_MXU_DTYPE),
+    # resolved ONCE at static_key time so toggling an env var after a chain
+    # compiled cannot serve a stale trace — the jit cache is keyed on them
+    # (ADVICE round-2). tail_pallas/mxu_bf16 need only BE in the key: the
+    # traced functions read the environment themselves at (re)trace time.
     phase_fused: bool = False
+    tail_pallas: bool = False
+    mxu_bf16: bool = False
 
 
 class ChainStep(NamedTuple):
@@ -268,6 +272,8 @@ class MagnificationChain:
             mode, levels, mag_channels, channels, h, w, bool(cfg.grayscale), geometry,
             float(cfg.magnification.framerate),
             os.environ.get("LVMT_PHASE_FUSED", "0") == "1",
+            os.environ.get("LVMT_TAIL", "jnp") == "pallas",
+            os.environ.get("LVMT_MXU_DTYPE", "f32") == "bf16",
         )
 
     def process(self, frame_u8_hwc, cfg: ProcessorConfig):

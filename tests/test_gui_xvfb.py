@@ -110,7 +110,8 @@ def test_export_flow_with_edited_params(win, tmp_path, monkeypatch):
     monkeypatch.setattr(win.filedialog, "askopenfilename", lambda **k: clip)
     win.on_open_file()
     assert win._file_path == clip
-    assert _pump(win, 10.0, until=lambda: win.controller.stats().processed > 2)
+    # generous: the first jit compile of the chain runs inside this window
+    assert _pump(win, 90.0, until=lambda: win.controller.stats().processed > 2)
     # playback-fps spinbox enabled + seeded for file sources (item 6a)
     assert str(win.playback_fps_spin.cget("state")) == "normal"
 
@@ -163,7 +164,7 @@ def test_record_flow_synthetic_camera(win, tmp_path, monkeypatch):
     assert win.controller.open_synthetic(h=48, w=64, fps=30.0, as_camera=True)
     win.controller.play()
     win.push_params()
-    _pump(win, 2.0, until=lambda: win.controller.stats().processed > 2)
+    _pump(win, 90.0, until=lambda: win.controller.stats().processed > 2)
 
     win.on_record()               # start recording
     assert win._recording_buf is not None

@@ -204,6 +204,25 @@ def test_riesz_phase_df2_fused_matches_jnp():
                                        atol=1e-5, rtol=1e-4)
 
 
+def test_conv9_mxu_bf16_mode_close_to_f32(monkeypatch):
+    """LVMT_MXU_DTYPE=bf16 (opt-in fast mode) must stay within bf16 rounding
+    of the f32 banded path — the flag is threaded as a STATIC jit argument so
+    both variants coexist in one process (the env is read per public call)."""
+    import live_video_magnification_tpu.ops.pallas.conv9_mxu as c9
+    from live_video_magnification_tpu.ops.kernels import RIESZ_LOWPASS_9x9
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(96, 128)).astype(np.float32) * 50.0)
+    monkeypatch.delenv("LVMT_MXU_DTYPE", raising=False)
+    ref = c9.conv9_mxu(x, RIESZ_LOWPASS_9x9, interpret=True)
+    monkeypatch.setenv("LVMT_MXU_DTYPE", "bf16")
+    got = c9.conv9_mxu(x, RIESZ_LOWPASS_9x9, interpret=True)
+    d = np.abs(np.asarray(ref) - np.asarray(got))
+    assert d.max() > 0  # the cast genuinely engaged (distinct trace)
+    # |x| ~ 50, 81 taps summing to ~1: bf16 relative 2^-8 -> small absolute
+    assert d.max() < 0.5, f"max diff {d.max()}"
+
+
 @pytest.mark.parametrize("phase_fused", [True, False])
 def test_riesz_step_with_all_pallas_kernels_matches_jnp_step(monkeypatch, phase_fused):
     """The full phase step with use_pallas=True, every Pallas entry point
