@@ -81,6 +81,144 @@ _SPLITS = [
 ]
 
 
+def slider_frac(v: float, mn: float, mx: float, log: bool) -> float:
+    """Value -> [0,1] track fraction; log pixel mapping when log and mn>0
+    (reference RangeSlider.cpp:37-50: value/step stay linear). Pure."""
+    import math as _math
+
+    v = min(max(v, mn), mx)
+    if log and mn > 0.0 and mx > mn:
+        return _math.log(v / mn) / _math.log(mx / mn)
+    return 0.0 if mx <= mn else (v - mn) / (mx - mn)
+
+
+def slider_value(frac: float, mn: float, mx: float, log: bool) -> float:
+    """[0,1] track fraction -> value (inverse of slider_frac). Pure."""
+    frac = min(max(frac, 0.0), 1.0)
+    if log and mn > 0.0 and mx > mn:
+        return mn * (mx / mn) ** frac
+    return mn + frac * (mx - mn)
+
+
+def slider_snap(v: float, step: float) -> float:
+    """Snap to the step grid (reference RangeSlider.cpp:54-57). Pure."""
+    s = step if step > 0.0 else 1.0
+    return round(v / s) * s
+
+
+def slider_enforce_gap(low: float, high: float, step: float, mn: float,
+                       mx: float, moved: str):
+    """Keep low < high by at least one step; the handle that did NOT move
+    yields (push high up, else pull low down — RangeSlider.cpp:59-68). Pure."""
+    s = step if step > 0.0 else 1.0
+    low = min(max(low, mn), mx)
+    high = min(max(high, mn), mx)
+    if high - low >= s:
+        return low, high
+    if moved == "low":
+        high = min(low + s, mx)
+        if high - low < s:
+            low = max(high - s, mn)
+    else:
+        low = max(high - s, mn)
+        if high - low < s:
+            high = min(low + s, mx)
+    return low, high
+
+
+class RangeSlider:
+    """Two-handle band slider on a tk Canvas — the reference's RangeSlider
+    (RangeSlider.cpp: dual handles that cannot cross, step snap, optional log
+    pixel axis). `command(low, high)` fires only on user changes;
+    `set_values` is silent."""
+
+    H = 22
+    R = 6  # handle radius
+
+    def __init__(self, parent, mn: float, mx: float, *, step: float = 0.05,
+                 log: bool = True, width: int = 160, command=None):
+        import tkinter as tk
+
+        self.mn, self.mx, self.step, self.log = mn, mx, step, log
+        self.low, self.high = mn, mx
+        self.command = command
+        self.canvas = tk.Canvas(parent, width=width, height=self.H,
+                                highlightthickness=0)
+        self.canvas.bind("<ButtonPress-1>", self._press)
+        self.canvas.bind("<B1-Motion>", self._drag)
+        self.canvas.bind("<Configure>", lambda e: self._redraw())
+        self._active = "high"
+        self._redraw()
+
+    # tk geometry-manager passthroughs so the widget drops into grid layouts
+    def grid(self, **kw):
+        self.canvas.grid(**kw)
+
+    def grid_remove(self):
+        self.canvas.grid_remove()
+
+    def set_range(self, mn: float, mx: float):
+        self.mn, self.mx = mn, mx
+        self.set_values(self.low, self.high)
+
+    def set_values(self, low: float, high: float):
+        """Silent programmatic update (clamped, snapped, gap-enforced)."""
+        low = slider_snap(min(max(low, self.mn), self.mx), self.step)
+        high = slider_snap(min(max(high, self.mn), self.mx), self.step)
+        if high < low:
+            low, high = high, low
+        self.low, self.high = slider_enforce_gap(low, high, self.step,
+                                                 self.mn, self.mx, "low")
+        self._redraw()
+
+    # -- internals ------------------------------------------------------------
+    def _track(self):
+        w = max(int(self.canvas.winfo_width()), 2 * self.R + 2)
+        return self.R + 1, w - self.R - 1
+
+    def _to_x(self, v):
+        x0, x1 = self._track()
+        return x0 + slider_frac(v, self.mn, self.mx, self.log) * (x1 - x0)
+
+    def _to_v(self, x):
+        x0, x1 = self._track()
+        frac = (x - x0) / max(1, (x1 - x0))
+        return slider_value(frac, self.mn, self.mx, self.log)
+
+    def _press(self, e):
+        dl = abs(e.x - self._to_x(self.low))
+        dh = abs(e.x - self._to_x(self.high))
+        self._active = "low" if dl < dh else "high"
+        self._drag(e)
+
+    def _drag(self, e):
+        v = slider_snap(self._to_v(e.x), self.step)
+        v = min(max(v, self.mn), self.mx)
+        if self._active == "low":
+            low, high = v, self.high
+        else:
+            low, high = self.low, v
+        low, high = slider_enforce_gap(low, high, self.step, self.mn, self.mx,
+                                       self._active)
+        if (low, high) != (self.low, self.high):
+            self.low, self.high = low, high
+            self._redraw()
+            if self.command is not None:
+                self.command(low, high)
+
+    def _redraw(self):
+        c = self.canvas
+        c.delete("all")
+        x0, x1 = self._track()
+        y = self.H // 2
+        c.create_line(x0, y, x1, y, fill="#667", width=3)
+        xl, xh = self._to_x(self.low), self._to_x(self.high)
+        c.create_line(xl, y, xh, y, fill="#4fc3f7", width=3)
+        for x in (xl, xh):
+            c.create_oval(x - self.R, y - self.R, x + self.R, y + self.R,
+                          fill="#e8e8e8", outline="#345")
+
+
 def canvas_to_norm(img_geom, x, y):
     """Canvas pixel -> normalized coords within the letterboxed frame, clamped
     to [0,1] (DisplayWidget.cpp:326-375 pane-confined drag). img_geom is
@@ -582,11 +720,37 @@ class MainWindow:
             row += 1
             return var
 
-        hz_fmt = lambda v: f"{v:.2f} Hz ({v * 60:.0f} BPM)"
         self.amp_var = slider("amp", "Amplification", 0, 200, 20)
         self.wave_var = slider("wave", "Wavelength %", 0, 100, 50)
-        self.low_var = slider("low", "Band low", 0.05, 15, 1.0, hz_fmt)
-        self.high_var = slider("high", "Band high", 0.05, 15, 5.0, hz_fmt)
+
+        # Dual-handle Hz band on a log axis with step snap — the reference's
+        # RangeSlider row (RangeSlider.cpp; MagnificationControls band row).
+        band_lbl = ttk.Label(panel, text="Band (Hz)")
+        band_lbl.grid(row=row, column=0, sticky="w")
+        self.low_var = tk.DoubleVar(value=1.0)
+        self.high_var = tk.DoubleVar(value=5.0)
+
+        def band_fmt(_v=None):
+            lo, hi = self.low_var.get(), self.high_var.get()
+            return f"{lo:.2f}–{hi:.2f} Hz ({lo * 60:.0f}–{hi * 60:.0f} BPM)"
+
+        band_readout = ttk.Label(panel, text="", width=24)
+
+        def on_band(low, high):
+            self.low_var.set(low)
+            self.high_var.set(high)
+            band_readout.configure(text=band_fmt())
+            self.push_params()
+
+        self.band_slider = RangeSlider(panel, 0.05, 15.0, step=0.05, log=True,
+                                       command=on_band)
+        self.band_slider.grid(row=row, column=1, sticky="ew")
+        band_readout.grid(row=row, column=2, sticky="w")
+        band_readout.configure(text=band_fmt())
+        self._rows["band"] = (band_lbl, self.band_slider, band_readout,
+                              band_fmt, self.low_var)
+        row += 1
+
         self.chroma_var = slider("chroma", "Chroma %", 0, 100, 0)
         self.levels_var = slider("levels", "Levels", 1, 8, 4)
         self.fps_var = slider("fps", "Capture FPS", 1, 120, 30)
@@ -618,10 +782,10 @@ class MainWindow:
     # Which parameter rows each mode exposes (MagnificationControls per-mode
     # row visibility: Color has no wavelength/chroma; Phase has no chroma).
     _MODE_ROWS = {
-        MagnificationMode.LAPLACE: {"amp", "wave", "low", "high", "chroma",
+        MagnificationMode.LAPLACE: {"amp", "wave", "band", "chroma",
                                     "levels", "fps"},
-        MagnificationMode.PHASE: {"amp", "wave", "low", "high", "levels", "fps"},
-        MagnificationMode.COLOR: {"amp", "low", "high", "levels", "fps"},
+        MagnificationMode.PHASE: {"amp", "wave", "band", "levels", "fps"},
+        MagnificationMode.COLOR: {"amp", "band", "levels", "fps"},
     }
 
     def _update_row_visibility(self):
@@ -644,6 +808,7 @@ class MainWindow:
         self.high_var.set(ui.high)
         self.chroma_var.set(ui.chroma)
         self.levels_var.set(ui.levels)
+        self.band_slider.set_values(ui.low, ui.high)  # silent
         for _lbl, _s, readout, fmt, var in self._rows.values():
             readout.configure(text=fmt(var.get()))
         self._update_row_visibility()
@@ -659,6 +824,10 @@ class MainWindow:
         ui.levels = int(self.levels_var.get())
         ui.capture_fps = float(self.fps_var.get())
         clamp_band_to_nyquist(ui)
+        # Nyquist clamp drives the band slider's range too
+        # (MagnificationControls.cpp:256-260): [0.05, fps/2].
+        if hasattr(self, "band_slider"):
+            self.band_slider.set_range(0.05, max(0.1, ui.capture_fps / 2.0))
         self.controller.set_magnification(to_params(ui))
 
     # --- sources / transport ---------------------------------------------------------------------

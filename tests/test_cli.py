@@ -158,6 +158,18 @@ def test_concat_resumed_parts_without_ffmpeg(tmp_path, monkeypatch, capsys):
     assert "ffmpeg not found" in capsys.readouterr().err
 
 
+def test_magnify_fast_flag_sets_mxu_dtype(clip_path, tmp_path, monkeypatch):
+    """--fast opts into the bf16 MXU stencils (no-op numerically on the CPU
+    backend where the MXU kernels are gated off, but the env must be set
+    before the chain builds)."""
+    monkeypatch.delenv("LVMT_MXU_DTYPE", raising=False)
+    out = str(tmp_path / "fast.avi")
+    assert cli.main(["magnify", clip_path, out, "--mode", "laplace",
+                     "--chunk", "5", "--end", "6", "--fast"]) == 0
+    assert os.environ.get("LVMT_MXU_DTYPE") == "bf16"
+    assert _read(out).shape[0] == 6
+
+
 def test_live_playback_fps_flag_wires_to_controller(clip_path, monkeypatch):
     """`lvmt live --playback-fps` drives PlaybackController.set_playback_fps
     for file sources (VERDICT round-2 item 6a; StatusStrip.cpp:122-158)."""

@@ -19,6 +19,10 @@ from live_video_magnification_tpu.gui import (
     canvas_to_norm,
     drag_to_roi,
     range_label_text,
+    slider_enforce_gap,
+    slider_frac,
+    slider_snap,
+    slider_value,
     trim_set_in,
     trim_set_out,
 )
@@ -76,6 +80,42 @@ def test_range_label_text():
     assert range_label_text(0, None) == ""
     assert range_label_text(5, None) == "[5..end)"
     assert range_label_text(5, 90) == "[5..90)"
+
+
+# --------------------------------------------------- dual-handle band slider
+
+def test_slider_log_mapping_roundtrip():
+    """Log pixel axis (reference RangeSlider.cpp:37-50): value<->fraction
+    roundtrips; midpoint of [0.05, 15] log axis is the geometric mean."""
+    mn, mx = 0.05, 15.0
+    for v in (0.05, 0.5, 1.0, 5.0, 15.0):
+        f = slider_frac(v, mn, mx, True)
+        assert 0.0 <= f <= 1.0
+        assert slider_value(f, mn, mx, True) == pytest.approx(v, rel=1e-9)
+    assert slider_value(0.5, mn, mx, True) == pytest.approx((mn * mx) ** 0.5)
+    # linear axis
+    assert slider_frac(5.0, 0.0, 10.0, False) == 0.5
+    assert slider_value(0.25, 0.0, 10.0, False) == 2.5
+
+
+def test_slider_snap():
+    assert slider_snap(1.234, 0.05) == pytest.approx(1.25)
+    assert slider_snap(1.22, 0.05) == pytest.approx(1.20)
+    assert slider_snap(7.0, 0.0) == 7.0  # degenerate step falls back to 1
+
+
+def test_slider_enforce_gap_handles_cannot_cross():
+    # moving low into high pushes high up
+    assert slider_enforce_gap(5.0, 5.0, 0.05, 0.05, 15.0, "low") == \
+        pytest.approx((5.0, 5.05))
+    # moving high into low pulls low down
+    assert slider_enforce_gap(5.0, 5.0, 0.05, 0.05, 15.0, "high") == \
+        pytest.approx((4.95, 5.0))
+    # at the top edge the other handle yields
+    lo, hi = slider_enforce_gap(15.0, 15.0, 0.05, 0.05, 15.0, "low")
+    assert hi == 15.0 and lo == pytest.approx(14.95)
+    # already-valid gap untouched
+    assert slider_enforce_gap(1.0, 5.0, 0.05, 0.05, 15.0, "low") == (1.0, 5.0)
 
 
 # ------------------------------------------------------- export config edit

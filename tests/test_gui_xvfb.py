@@ -184,6 +184,33 @@ def test_record_flow_synthetic_camera(win, tmp_path, monkeypatch):
     assert _read(out).shape[0] >= 2
 
 
+def test_band_slider_drag_updates_params(win):
+    """The dual-handle band slider (reference RangeSlider) drives low/high and
+    pushes params; programmatic set_values stays silent."""
+    from types import SimpleNamespace
+
+    win.push_params()
+    s = win.band_slider
+    s.canvas.configure(width=200)
+    _pump(win, 0.3)
+
+    pushed = []
+    orig = win.push_params
+    win.push_params = lambda: (pushed.append(1), orig())[1]
+    # drag the high handle to ~mid-track (log axis)
+    x_target = int(s._to_x(2.0))
+    s._press(SimpleNamespace(x=int(s._to_x(s.high))))
+    s._drag(SimpleNamespace(x=x_target))
+    assert pushed, "user drag must fire push_params"
+    assert win.high_var.get() < 5.0
+    assert win.low_var.get() < win.high_var.get()
+
+    pushed.clear()
+    s.set_values(0.5, 3.0)  # silent
+    assert not pushed
+    assert (s.low, s.high) == (0.5, 3.0)
+
+
 def test_original_view_short_circuits_magnification(win):
     """Selecting the Original view drives set_magnify_active(False)
     (item 6b; reference MainWindow.cpp:199-204)."""
