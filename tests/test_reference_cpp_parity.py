@@ -56,8 +56,11 @@ def ref_harness(tmp_path_factory):
 
 def run_reference(binary, mode, frames, *, fps=FPS, levels=4, amplification=0.0,
                   co_wavelength=0.0, co_low=0.0, co_high=0.0, chrom=0.0,
-                  roi=None, downscale=1, grayscale=False):
-    """Feed u8 BGR frames through the compiled reference chain; return (T,h,w,c) u8."""
+                  roi=None, downscale=1, grayscale=False, change=None):
+    """Feed u8 BGR frames through the compiled reference chain; return (T,h,w,c) u8.
+
+    change=(frame_idx, new_low, new_high) switches the cutoffs mid-clip,
+    driving the reference's live cutoff-change path (MagnifyCore.hpp:243-254)."""
     t = len(frames)
     h, w = frames[0].shape[:2]
     rx, ry, rw, rh = roi if roi else (0.0, 0.0, 1.0, 1.0)
@@ -65,6 +68,8 @@ def run_reference(binary, mode, frames, *, fps=FPS, levels=4, amplification=0.0,
             str(co_wavelength), str(co_low), str(co_high), str(chrom),
             "1" if roi else "0", str(rx), str(ry), str(rw), str(rh),
             str(downscale), "1" if grayscale else "0", str(w), str(h), str(t)]
+    if change is not None:
+        args += [str(change[0]), str(change[1]), str(change[2])]
     proc = subprocess.run(args, input=b"".join(np.ascontiguousarray(f).tobytes()
                                                for f in frames),
                           capture_output=True, timeout=600)
@@ -143,6 +148,71 @@ def test_color_rolling_window_vs_reference_cpp(ref_harness):
     cfg = ProcessorConfig(magnification=MagnificationParams(
         mode=MagnificationMode.COLOR, amplification=60.0, co_low=0.4,
         co_high=1.2, levels=3, framerate=fps))
+    _assert_chain_matches(frames, cfg, ref)
+
+
+def test_phase_cutoff_change_vs_reference_cpp(ref_harness):
+    """Mid-clip cutoff change drives the reference's Butterworth recompute +
+    filter reset + prior-pyramid rebuild (MagnifyCore.hpp:243-254); the JAX
+    chain's reset_filters/dyn-coefficient path must match the REAL C++."""
+    t, h, w = 28, 120, 160
+    change_at = 14
+    frames = realistic_clip(t, h, w, FPS, seed=28)
+    ref = run_reference(ref_harness, "phase", frames, levels=3,
+                        amplification=30.0, co_wavelength=40.0, co_low=0.5,
+                        co_high=3.0, change=(change_at, 1.0, 5.0))
+    chain = MagnificationChain()
+    worst = 99.0
+    for i, f in enumerate(frames):
+        lo, hi = (0.5, 3.0) if i < change_at else (1.0, 5.0)
+        cfg = ProcessorConfig(magnification=MagnificationParams(
+            mode=MagnificationMode.PHASE, amplification=30.0,
+            co_wavelength=40.0, co_low=lo, co_high=hi, levels=3,
+            framerate=FPS))
+        got, _ = chain.process(f, cfg)
+        if i == 0:
+            continue
+        p = psnr_u8(np.asarray(got), ref[i])
+        worst = min(worst, p)
+        assert p > 40.0, f"frame {i}: PSNR {p:.1f} dB (change at {change_at})"
+    assert worst > 40.0
+
+
+def test_laplace_blend_change_vs_reference_cpp(ref_harness):
+    """Laplace blend-coefficient change mid-clip: NO state reset in the
+    reference (the IIR just runs with new blends) — the chain must do the
+    same, not a structural reset."""
+    t, h, w = 24, 96, 128
+    change_at = 12
+    frames = realistic_clip(t, h, w, FPS, seed=29)
+    ref = run_reference(ref_harness, "laplace", frames, levels=3,
+                        amplification=20.0, co_wavelength=500.0, co_low=0.138,
+                        co_high=0.466, chrom=0.1, change=(change_at, 0.05, 0.3))
+    chain = MagnificationChain()
+    for i, f in enumerate(frames):
+        lo, hi = (0.138, 0.466) if i < change_at else (0.05, 0.3)
+        cfg = ProcessorConfig(magnification=MagnificationParams(
+            mode=MagnificationMode.LAPLACE, amplification=20.0,
+            co_wavelength=500.0, co_low=lo, co_high=hi, chrom_attenuation=0.1,
+            levels=3, framerate=FPS))
+        got, _ = chain.process(f, cfg)
+        if i == 0:
+            continue
+        p = psnr_u8(np.asarray(got), ref[i])
+        assert p > 40.0, f"frame {i}: PSNR {p:.1f} dB (change at {change_at})"
+
+
+def test_color_grayscale_input_vs_reference_cpp(ref_harness):
+    """Color mode on GRAYSCALE input (the reference processes 1-channel in
+    magnifyColor, MagnifyCore.hpp:163-206)."""
+    t, h, w = 20, 96, 128
+    frames = realistic_clip(t, h, w, FPS, seed=30)
+    ref = run_reference(ref_harness, "color", frames, levels=3,
+                        amplification=60.0, co_low=0.8, co_high=1.4,
+                        grayscale=True)
+    cfg = ProcessorConfig(grayscale=True, magnification=MagnificationParams(
+        mode=MagnificationMode.COLOR, amplification=60.0, co_low=0.8,
+        co_high=1.4, levels=3, framerate=FPS))
     _assert_chain_matches(frames, cfg, ref)
 
 

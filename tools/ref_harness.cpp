@@ -11,10 +11,15 @@
 // Protocol:
 //   argv: mode fps levels amplification co_wavelength co_low co_high chrom
 //         roi_enabled roi_x roi_y roi_w roi_h downscale grayscale w h t
+//         [change_at change_low change_high]
 //   stdin:  t frames of h*w*3 u8 BGR
 //   stdout: 12-byte header (int32 out_h, out_w, out_c) then t frames of out u8 data.
 //           Warmup frames (magnify* returns false) emit the post-preprocess input,
 //           exactly like MagnificationProcessor.cpp:61.
+//   The optional trailing triple switches coLow/coHigh at frame `change_at`,
+//   driving the live cutoff-change path (Butterworth recompute + filter reset +
+//   prior-pyramid rebuild, MagnifyCore.hpp:243-254 / the iir blend change for
+//   laplace) exactly as the GUI would.
 // Build: tools/build_ref_harness.sh
 
 #include <algorithm>
@@ -39,10 +44,11 @@ static bool read_exact(void* dst, size_t n) {
 }
 
 int main(int argc, char** argv) {
-    if (argc != 19) {
+    if (argc != 19 && argc != 22) {
         std::fprintf(stderr,
                      "usage: %s mode fps levels amp co_wavelength co_low co_high chrom "
-                     "roi_enabled roi_x roi_y roi_w roi_h downscale grayscale w h t\n",
+                     "roi_enabled roi_x roi_y roi_w roi_h downscale grayscale w h t "
+                     "[change_at change_low change_high]\n",
                      argv[0]);
         return 2;
     }
@@ -72,6 +78,13 @@ int main(int argc, char** argv) {
     const int w = std::atoi(argv[a++]);
     const int h = std::atoi(argv[a++]);
     const int t = std::atoi(argv[a++]);
+    int change_at = -1;
+    double change_low = 0.0, change_high = 0.0;
+    if (argc == 22) {
+        change_at = std::atoi(argv[a++]);
+        change_low = std::atof(argv[a++]);
+        change_high = std::atof(argv[a++]);
+    }
 
     magcore::MotionState motion;
     magcore::ColorState color;
@@ -84,6 +97,10 @@ int main(int argc, char** argv) {
         if (!read_exact(buf.data(), buf.size())) {
             std::fprintf(stderr, "short read at frame %d\n", i);
             return 3;
+        }
+        if (i == change_at) {  // live cutoff change, exactly as the GUI publishes it
+            p.coLow = change_low;
+            p.coHigh = change_high;
         }
         cv::Mat frame(h, w, CV_8UC3, buf.data());
 
