@@ -433,12 +433,28 @@ def main() -> int:
         r = bench_mode_scan(args.mode, h, w, levels, args.steps)
         metric = f"{args.mode}_{name_res}_fps_per_chip"
 
-    print(json.dumps({
+    entry = {
         "metric": metric,
         "value": round(r["fps"], 2),
         "unit": "fps",
         "vs_baseline": round(r["fps"] / 60.0, 3),
-    }))
+    }
+    if metric == "phase_4k_fps_per_chip":
+        # also measure the opt-in bf16 fast mode (passes the 40 dB reference
+        # bound: TPU_REFERENCE_PARITY.json) as an extra field, same session
+        import os as _os
+
+        _os.environ["LVMT_MXU_DTYPE"] = "bf16"
+        try:
+            rf = bench_mode_scan(args.mode, h, w, levels, args.steps)
+            entry["fast_mode_fps"] = round(rf["fps"], 2)
+            entry["note"] = ("default f32 path; fast_mode_fps = LVMT_MXU_DTYPE"
+                            "=bf16 (48.8 dB worst vs the compiled reference)")
+        except Exception:
+            pass
+        finally:
+            _os.environ["LVMT_MXU_DTYPE"] = "f32"
+    print(json.dumps(entry))
     print(f"# device={jax.devices()[0].device_kind} levels={levels} "
           f"compile+warm={r['compile_s']:.1f}s rtt={r['rtt_s']*1e3:.0f}ms "
           f"steady={r['ms_per_frame']:.1f}ms/frame checksums={r['checksums']}",
