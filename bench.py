@@ -300,11 +300,15 @@ def run_matrix(steps: int) -> list:
     def bf16_4k():
         import os as _os
 
+        prev = _os.environ.get("LVMT_MXU_DTYPE")
         _os.environ["LVMT_MXU_DTYPE"] = "bf16"
         try:
             return bench_mode_scan("phase", 2160, 3840, 6, steps)
-        finally:
-            _os.environ["LVMT_MXU_DTYPE"] = "f32"
+        finally:  # restore the caller's setting, not a hardcoded default
+            if prev is None:
+                _os.environ.pop("LVMT_MXU_DTYPE", None)
+            else:
+                _os.environ["LVMT_MXU_DTYPE"] = prev
 
     add("phase_4k_bf16_fastmode_fps_per_chip", 60.0, bf16_4k,
         note="LVMT_MXU_DTYPE=bf16 opt-in fast mode (bf16-operand banded "
@@ -444,6 +448,7 @@ def main() -> int:
         # bound: TPU_REFERENCE_PARITY.json) as an extra field, same session
         import os as _os
 
+        prev = _os.environ.get("LVMT_MXU_DTYPE")
         _os.environ["LVMT_MXU_DTYPE"] = "bf16"
         try:
             rf = bench_mode_scan(args.mode, h, w, levels, args.steps)
@@ -453,7 +458,10 @@ def main() -> int:
         except Exception:
             pass
         finally:
-            _os.environ["LVMT_MXU_DTYPE"] = "f32"
+            if prev is None:
+                _os.environ.pop("LVMT_MXU_DTYPE", None)
+            else:
+                _os.environ["LVMT_MXU_DTYPE"] = prev
     print(json.dumps(entry))
     print(f"# device={jax.devices()[0].device_kind} levels={levels} "
           f"compile+warm={r['compile_s']:.1f}s rtt={r['rtt_s']*1e3:.0f}ms "

@@ -289,8 +289,15 @@ class PlaybackController:
             self._magnify_active = active
         self._publish_config()
 
-    def config_snapshot(self) -> ProcessorConfig:
+    def config_snapshot(self, raw_mode: bool = False) -> ProcessorConfig:
+        """raw_mode=True returns the remembered magnification params even while
+        magnification is inactive (e.g. the 'Original' view short-circuit) —
+        export dialogs must seed from the REAL mode, not the NONE override."""
         with self._prefs_mutex:
+            if raw_mode:
+                return ProcessorConfig(grayscale=self._grayscale,
+                                       preprocess=self._preprocess,
+                                       magnification=self._mag_params)
             return self._compose_config_locked()
 
     def _compose_config_locked(self) -> ProcessorConfig:

@@ -244,9 +244,10 @@ def drag_to_roi(p0, p1, min_size: float = 0.01):
     return (x, y, w, h)
 
 
-def trim_set_in(in_frame, out_frame, current):
-    """IN-trim state transition: IN moves to the playhead; an OUT at or before
-    the new IN is discarded (TimelineView out-exclusive semantics). Pure."""
+def trim_set_in(out_frame, current):
+    """IN-trim state transition: IN moves unconditionally to the playhead
+    (the previous IN does not participate); an OUT at or before the new IN is
+    discarded (TimelineView out-exclusive semantics). Pure."""
     new_out = out_frame if (out_frame is None or out_frame > current) else None
     return current, new_out
 
@@ -744,11 +745,13 @@ class MainWindow:
 
         self.band_slider = RangeSlider(panel, 0.05, 15.0, step=0.05, log=True,
                                        command=on_band)
+        self.band_slider.set_values(self.low_var.get(), self.high_var.get())
         self.band_slider.grid(row=row, column=1, sticky="ew")
         band_readout.grid(row=row, column=2, sticky="w")
         band_readout.configure(text=band_fmt())
         self._rows["band"] = (band_lbl, self.band_slider, band_readout,
                               band_fmt, self.low_var)
+        self._band_readout, self._band_fmt = band_readout, band_fmt
         row += 1
 
         self.chroma_var = slider("chroma", "Chroma %", 0, 100, 0)
@@ -825,9 +828,17 @@ class MainWindow:
         ui.capture_fps = float(self.fps_var.get())
         clamp_band_to_nyquist(ui)
         # Nyquist clamp drives the band slider's range too
-        # (MagnificationControls.cpp:256-260): [0.05, fps/2].
+        # (MagnificationControls.cpp:256-260): [0.05, fps/2] — and any handle
+        # the range clamp moved is written back to the vars + readout so the
+        # display never diverges from the pushed params.
         if hasattr(self, "band_slider"):
             self.band_slider.set_range(0.05, max(0.1, ui.capture_fps / 2.0))
+            s = self.band_slider
+            if (s.low, s.high) != (ui.low, ui.high):
+                ui.low, ui.high = s.low, s.high
+                self.low_var.set(s.low)
+                self.high_var.set(s.high)
+                self._band_readout.configure(text=self._band_fmt())
         self.controller.set_magnification(to_params(ui))
 
     # --- sources / transport ---------------------------------------------------------------------
@@ -883,6 +894,7 @@ class MainWindow:
         self.push_params()
         self.controller.open_synthetic(h=480, w=640, fps=30.0)
         self.controller.play()
+        self._sync_playback_fps_control()
 
     def _scrub_start(self, _e):
         self._scrubbing = True
@@ -906,7 +918,7 @@ class MainWindow:
         if not self.controller.seekable():
             return
         self._in_frame, self._out_frame = trim_set_in(
-            self._in_frame, self._out_frame, self.controller.current_frame())
+            self._out_frame, self.controller.current_frame())
         self.controller.set_in_out(self._in_frame, self._out_frame or 0)
         self._update_range_label()
 
@@ -946,7 +958,7 @@ class MainWindow:
                 "Export", "Open a video file first (camera sources use Record)")
             return
         dlg = ExportSettingsDialog(
-            self.root, self.controller.config_snapshot(),
+            self.root, self.controller.config_snapshot(raw_mode=True),
             frame_count=self.controller.frame_count(),
             in_frame=self._in_frame, out_frame=self._out_frame,
             default_fps=self.controller.reported_fps() or 30.0,
@@ -1037,7 +1049,7 @@ class MainWindow:
             self.messagebox.showinfo("Record", "Nothing recorded")
             return
         dlg = ExportSettingsDialog(
-            self.root, self.controller.config_snapshot(),
+            self.root, self.controller.config_snapshot(raw_mode=True),
             frame_count=len(frames), default_fps=self.controller.reported_fps() or 30.0,
             allow_range=False,
         )
@@ -1167,6 +1179,7 @@ def main(argv=None) -> int:
         win._file_path = argv[0]
         win.controller.open_file(argv[0])
         win.controller.play()
+        win._sync_playback_fps_control()
     win.run()
     return 0
 

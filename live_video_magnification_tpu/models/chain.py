@@ -85,6 +85,7 @@ class _StaticKey(NamedTuple):
     phase_fused: bool = False
     tail_pallas: bool = False
     mxu_bf16: bool = False
+    mxu_precision: str = "highest"
 
 
 class ChainStep(NamedTuple):
@@ -274,6 +275,7 @@ class MagnificationChain:
             os.environ.get("LVMT_PHASE_FUSED", "0") == "1",
             os.environ.get("LVMT_TAIL", "jnp") == "pallas",
             os.environ.get("LVMT_MXU_DTYPE", "f32") == "bf16",
+            os.environ.get("LVMT_MXU_PRECISION", "highest").lower(),
         )
 
     def process(self, frame_u8_hwc, cfg: ProcessorConfig):

@@ -48,19 +48,19 @@ _TILE_S = 64        # inject-kernel small rows per grid step (=> 128 out rows)
 MIN_MXU_DIM = 96    # below this the VPU/XLA slices path wins
 
 
-def _mxu_precision():
-    """Matmul pass decomposition for the banded stencils, LVMT_MXU_PRECISION:
-    'highest' (6-pass f32, bit-conservative default), 'high' (bf16x3 — ~2x the
-    MXU rate at near-f32 accuracy for this tap/value range), 'default'
-    (1-pass bf16 — fastest; measure PSNR before shipping).
-
-    Measured 2026-08-21 (MXU_PRECISION_AB.json): on the axon v5e stack all
-    three settings are time- AND bit-identical — Mosaic lowers f32-operand
-    dots one way regardless. The real rate lever is OPERAND dtype, below."""
+def _mxu_precision_name() -> str:
+    """Matmul pass decomposition for the banded stencils, LVMT_MXU_PRECISION.
+    Resolved here and threaded as a STATIC argument into the jitted _run_*
+    wrappers (see _mxu_dot). Measured honestly (MXU_PRECISION_AB.json,
+    2026-08-21, after fixing the stale-trace A/B): 'highest' = 6-pass f32
+    (14.0 ms/4K-frame, the bit-conservative default); 'high' (bf16x3) is NOT
+    supported by the Mosaic lowering (NotImplementedError); 'default' =
+    1-pass bf16 multiply (9.35 ms, 44.1 dB / max u8 delta 140 vs highest) —
+    behaviorally the same as the explicit LVMT_MXU_DTYPE=bf16 fast mode,
+    which is the documented knob."""
     import os
 
-    name = os.environ.get("LVMT_MXU_PRECISION", "highest").upper()
-    return getattr(jax.lax.Precision, name, jax.lax.Precision.HIGHEST)
+    return os.environ.get("LVMT_MXU_PRECISION", "highest").lower()
 
 
 def _mxu_bf16() -> bool:
@@ -74,17 +74,19 @@ def _mxu_bf16() -> bool:
     return os.environ.get("LVMT_MXU_DTYPE", "f32") == "bf16"
 
 
-def _mxu_dot(a, b, bf16: bool = False):
+def _mxu_dot(a, b, bf16: bool = False, prec: str = "highest"):
     """One banded-stencil matmul term: f32 (default) or bf16-operand.
 
-    bf16 must be threaded as a STATIC argument from the public entry points —
-    the _run_* wrappers are module-level jitted functions, so an env read at
-    kernel-trace time would be frozen into their jit cache."""
+    bf16 AND prec must be threaded as STATIC arguments from the public entry
+    points — the _run_* wrappers are module-level jitted functions, so an env
+    read at kernel-trace time would be frozen into their jit cache (the first
+    precision A/B measured a false null exactly this way)."""
     if bf16:
         return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
+    precision = getattr(jax.lax.Precision, prec.upper(), jax.lax.Precision.HIGHEST)
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=_mxu_precision())
+                   precision=precision)
 
 
 # --------------------------------------------------------------------------- banks
@@ -132,7 +134,7 @@ def _pad_reflect_symmetric2(x: jnp.ndarray) -> jnp.ndarray:
 # --------------------------------------------------------------------------- dense
 
 
-def _dense_kernel(x_hbm, bank_ref, out_ref, strip, sem, *, n_blocks: int, bf16: bool):
+def _dense_kernel(x_hbm, bank_ref, out_ref, strip, sem, *, n_blocks: int, bf16: bool, prec: str):
     ti = pl.program_id(0)
     cp = pltpu.make_async_copy(
         x_hbm.at[pl.ds(ti * _TILE_R, _TILE_R + 8), :], strip, sem
@@ -143,18 +145,18 @@ def _dense_kernel(x_hbm, bank_ref, out_ref, strip, sem, *, n_blocks: int, bf16: 
         acc = None
         for a in range(9):
             slab = strip[a : a + _TILE_R, j * _LANES : j * _LANES + 2 * _LANES]
-            term = _mxu_dot(slab, bank_ref[a], bf16)
+            term = _mxu_dot(slab, bank_ref[a], bf16, prec)
             acc = term if acc is None else acc + term
         out_ref[:, j * _LANES : (j + 1) * _LANES] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "bf16"))
+@functools.partial(jax.jit, static_argnames=("interpret", "bf16", "prec"))
 def _run_dense(padded: jnp.ndarray, bank: jnp.ndarray, interpret: bool = False,
-               bf16: bool = False):
+               bf16: bool = False, prec: str = "highest"):
     hp, wp = padded.shape
     n_tiles = (hp - 8) // _TILE_R
     n_blocks = wp // _LANES - 1
-    kernel = functools.partial(_dense_kernel, n_blocks=n_blocks, bf16=bf16)
+    kernel = functools.partial(_dense_kernel, n_blocks=n_blocks, bf16=bf16, prec=prec)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
@@ -194,14 +196,15 @@ def conv9_mxu(x: jnp.ndarray, kernel9, interpret: bool = False) -> jnp.ndarray:
         p, ((0, n_tiles * _TILE_R + 8 - (h + 8)), (0, wp - (w + 8))), mode="edge"
     )
     bank = jnp.asarray(_dense_bank(k))
-    out = _run_dense(p, bank, interpret=interpret, bf16=_mxu_bf16())
+    out = _run_dense(p, bank, interpret=interpret, bf16=_mxu_bf16(),
+                     prec=_mxu_precision_name())
     return out[:h, :w]
 
 
 # --------------------------------------------------------------------------- inject
 
 
-def _inject_kernel(s_hbm, e_bank, o_bank, out_ref, strip, sem, *, n_blocks: int, bf16: bool):
+def _inject_kernel(s_hbm, e_bank, o_bank, out_ref, strip, sem, *, n_blocks: int, bf16: bool, prec: str):
     ti = pl.program_id(0)
     cp = pltpu.make_async_copy(
         s_hbm.at[pl.ds(ti * _TILE_S, _TILE_S + 8), :], strip, sem
@@ -213,25 +216,25 @@ def _inject_kernel(s_hbm, e_bank, o_bank, out_ref, strip, sem, *, n_blocks: int,
         acc_e = None
         for ai in range(5):  # a = 0,2,4,6,8 -> small rows y' + a/2
             slab = strip[ai : ai + _TILE_S, slab_cols]
-            term = _mxu_dot(slab, e_bank[ai], bf16)
+            term = _mxu_dot(slab, e_bank[ai], bf16, prec)
             acc_e = term if acc_e is None else acc_e + term
         acc_o = None
         for ai in range(4):  # a = 1,3,5,7 -> small rows y' + (a+1)/2
             slab = strip[ai + 1 : ai + 1 + _TILE_S, slab_cols]
-            term = _mxu_dot(slab, o_bank[ai], bf16)
+            term = _mxu_dot(slab, o_bank[ai], bf16, prec)
             acc_o = term if acc_o is None else acc_o + term
         out_cols = slice(j * 2 * _LANES, (j + 1) * 2 * _LANES)
         out_ref[:, 0, out_cols] = acc_e
         out_ref[:, 1, out_cols] = acc_o
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "bf16"))
+@functools.partial(jax.jit, static_argnames=("interpret", "bf16", "prec"))
 def _run_inject(sp: jnp.ndarray, e_bank, o_bank, interpret: bool = False,
-                bf16: bool = False):
+                bf16: bool = False, prec: str = "highest"):
     hp, wp = sp.shape
     n_tiles = (hp - 8) // _TILE_S
     n_blocks = wp // _LANES - 1
-    kernel = functools.partial(_inject_kernel, n_blocks=n_blocks, bf16=bf16)
+    kernel = functools.partial(_inject_kernel, n_blocks=n_blocks, bf16=bf16, prec=prec)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
@@ -279,7 +282,7 @@ def lp9_inject_mxu(
     e_bank = jnp.asarray(_inject_bank(k, 0))
     o_bank = jnp.asarray(_inject_bank(k, 1))
     out = _run_inject(sp, e_bank, o_bank, interpret=interpret,
-                      bf16=_mxu_bf16())
+                      bf16=_mxu_bf16(), prec=_mxu_precision_name())
     out = out[:sh, :, :w].reshape(h, w)
     return out
 
@@ -297,7 +300,7 @@ def _band_bank(taps, width: int) -> np.ndarray:
 
 
 def _band_kernel(hp_hbm, r_bank, s_bank, r_ref, i_ref, strip, sem,
-                 *, bf16: bool, n_blocks: int, taps):
+                 *, bf16: bool, prec: str, n_blocks: int, taps):
     ti = pl.program_id(0)
     cp = pltpu.make_async_copy(
         hp_hbm.at[pl.ds(ti * _TILE_R, _TILE_R + 8), :], strip, sem
@@ -308,23 +311,23 @@ def _band_kernel(hp_hbm, r_bank, s_bank, r_ref, i_ref, strip, sem,
         cols = slice(j * _LANES, j * _LANES + 2 * _LANES)
         # r: horizontal 1x5 at vertical offset 2 (the pad-2 halo).
         slab = strip[2 : 2 + _TILE_R, cols]
-        r_ref[:, j * _LANES : (j + 1) * _LANES] = _mxu_dot(slab, r_bank[:], bf16)
+        r_ref[:, j * _LANES : (j + 1) * _LANES] = _mxu_dot(slab, r_bank[:], bf16, prec)
         # i: vertical 5x1 (cheap sublane shifts), then a +2-lane shift expressed
         # as a delta-band matmul (Mosaic cannot lane-rotate cheaply).
         acc = None
         for a in range(5):
             term = strip[a : a + _TILE_R, cols] * taps[a]
             acc = term if acc is None else acc + term
-        i_ref[:, j * _LANES : (j + 1) * _LANES] = _mxu_dot(acc, s_bank[:], bf16)
+        i_ref[:, j * _LANES : (j + 1) * _LANES] = _mxu_dot(acc, s_bank[:], bf16, prec)
 
 
-@functools.partial(jax.jit, static_argnames=("taps", "interpret", "bf16"))
+@functools.partial(jax.jit, static_argnames=("taps", "interpret", "bf16", "prec"))
 def _run_band(padded: jnp.ndarray, taps, interpret: bool = False,
-              bf16: bool = False):
+              bf16: bool = False, prec: str = "highest"):
     hp, wp = padded.shape
     n_tiles = (hp - 8) // _TILE_R
     n_blocks = wp // _LANES - 1
-    kernel = functools.partial(_band_kernel, n_blocks=n_blocks, taps=taps, bf16=bf16)
+    kernel = functools.partial(_band_kernel, n_blocks=n_blocks, taps=taps, bf16=bf16, prec=prec)
     r_bank = jnp.asarray(_band_bank(list(taps), 5))
     s_bank = jnp.asarray(_band_bank([0.0, 0.0, 1.0, 0.0, 0.0], 5))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -368,7 +371,8 @@ def band5_mxu(
     p = jnp.pad(
         p, ((0, n_tiles * _TILE_R + 8 - (h + 4)), (0, wp - (w + 4))), mode="edge"
     )
-    r, i = _run_band(p, taps, interpret=interpret, bf16=_mxu_bf16())
+    r, i = _run_band(p, taps, interpret=interpret, bf16=_mxu_bf16(),
+                     prec=_mxu_precision_name())
     return r[:h, :w], i[:h, :w]
 
 
@@ -389,7 +393,7 @@ def _dec_bank(k: np.ndarray, parity: int) -> np.ndarray:
 
 
 def _dec_kernel(pe_hbm, po_hbm, e_bank, o_bank, out_ref, strip_e, strip_o, sems,
-                *, n_blocks: int, bf16: bool):
+                *, n_blocks: int, bf16: bool, prec: str):
     ti = pl.program_id(0)
     cp0 = pltpu.make_async_copy(
         pe_hbm.at[pl.ds(ti * _TILE_R, _TILE_R + 8), :], strip_e, sems.at[0]
@@ -405,21 +409,21 @@ def _dec_kernel(pe_hbm, po_hbm, e_bank, o_bank, out_ref, strip_e, strip_o, sems,
         cols = slice(j * 2 * _LANES, j * 2 * _LANES + 3 * _LANES)
         acc = None
         for ai in range(5):  # a = 0,2,4,6,8 -> even plane rows y' + a/2
-            term = _mxu_dot(strip_e[ai : ai + _TILE_R, cols], e_bank[ai], bf16)
+            term = _mxu_dot(strip_e[ai : ai + _TILE_R, cols], e_bank[ai], bf16, prec)
             acc = term if acc is None else acc + term
         for ai in range(4):  # a = 1,3,5,7 -> odd plane rows y' + (a-1)/2
-            term = _mxu_dot(strip_o[ai : ai + _TILE_R, cols], o_bank[ai], bf16)
+            term = _mxu_dot(strip_o[ai : ai + _TILE_R, cols], o_bank[ai], bf16, prec)
             acc = acc + term
         out_ref[:, j * _LANES : (j + 1) * _LANES] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "bf16"))
+@functools.partial(jax.jit, static_argnames=("interpret", "bf16", "prec"))
 def _run_dec(pe: jnp.ndarray, po: jnp.ndarray, e_bank, o_bank,
-             interpret: bool = False, bf16: bool = False):
+             interpret: bool = False, bf16: bool = False, prec: str = "highest"):
     hp, wp = pe.shape
     n_tiles = (hp - 8) // _TILE_R
     n_blocks = (wp - _LANES) // (2 * _LANES)
-    kernel = functools.partial(_dec_kernel, n_blocks=n_blocks, bf16=bf16)
+    kernel = functools.partial(_dec_kernel, n_blocks=n_blocks, bf16=bf16, prec=prec)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
@@ -471,5 +475,5 @@ def lp9_decimate_mxu(
     e_bank = jnp.asarray(_dec_bank(k, 0))
     o_bank = jnp.asarray(_dec_bank(k, 1))
     out = _run_dec(pe, po, e_bank, o_bank, interpret=interpret,
-                   bf16=_mxu_bf16())
+                   bf16=_mxu_bf16(), prec=_mxu_precision_name())
     return out[:h2, :w2]

@@ -162,7 +162,10 @@ def test_magnify_fast_flag_sets_mxu_dtype(clip_path, tmp_path, monkeypatch):
     """--fast opts into the bf16 MXU stencils (no-op numerically on the CPU
     backend where the MXU kernels are gated off, but the env must be set
     before the chain builds)."""
-    monkeypatch.delenv("LVMT_MXU_DTYPE", raising=False)
+    # setenv (not delenv) so monkeypatch registers a teardown restore:
+    # cli.main mutates the real environment, and a leaked bf16 flag would
+    # flip every later pallas golden test into the fast mode.
+    monkeypatch.setenv("LVMT_MXU_DTYPE", "f32")
     out = str(tmp_path / "fast.avi")
     assert cli.main(["magnify", clip_path, out, "--mode", "laplace",
                      "--chunk", "5", "--end", "6", "--fast"]) == 0

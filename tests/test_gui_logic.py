@@ -64,10 +64,10 @@ def test_drag_to_roi_rejects_degenerate():
 # ------------------------------------------------------------- trim machine
 
 def test_trim_set_in_discards_stale_out():
-    assert trim_set_in(0, None, 10) == (10, None)
-    assert trim_set_in(0, 50, 10) == (10, 50)      # out still after in: kept
-    assert trim_set_in(0, 10, 10) == (10, None)    # out == new in: discarded
-    assert trim_set_in(0, 5, 10) == (10, None)     # out before new in: discarded
+    assert trim_set_in(None, 10) == (10, None)
+    assert trim_set_in(50, 10) == (10, 50)      # out still after in: kept
+    assert trim_set_in(10, 10) == (10, None)    # out == new in: discarded
+    assert trim_set_in(5, 10) == (10, None)     # out before new in: discarded
 
 
 def test_trim_set_out_requires_after_in():
@@ -80,6 +80,27 @@ def test_range_label_text():
     assert range_label_text(0, None) == ""
     assert range_label_text(5, None) == "[5..end)"
     assert range_label_text(5, 90) == "[5..90)"
+
+
+def test_export_seeds_from_raw_mode_snapshot():
+    """With the 'Original' view active (magnification short-circuited to
+    NONE), the export dialog must still seed from the REAL magnification
+    params — config_snapshot(raw_mode=True) (code-review round-3 finding)."""
+    from live_video_magnification_tpu.engine.controller import PlaybackController
+
+    ctrl = PlaybackController()
+    try:
+        ctrl.set_magnification(MagnificationParams(
+            mode=MagnificationMode.PHASE, amplification=50.0,
+            co_wavelength=50.0, co_low=1.0, co_high=5.0, levels=5,
+            framerate=30.0))
+        ctrl.set_magnify_active(False)  # "Original" view
+        assert ctrl.config_snapshot().magnification.mode is MagnificationMode.NONE
+        raw = ctrl.config_snapshot(raw_mode=True)
+        assert raw.magnification.mode is MagnificationMode.PHASE
+        assert raw.magnification.co_low == 1.0
+    finally:
+        ctrl.close()
 
 
 # --------------------------------------------------- dual-handle band slider
