@@ -320,7 +320,9 @@ def run_matrix(steps: int) -> list:
     # sharded-step code path at mesh of 1 (multi-chip path, single-chip speed)
     add("phase_4k_shardedstep_fps_per_chip", 60.0,
         lambda: bench_sharded_step(2160, 3840, 6, steps),
-        note="explicit shard_map Pallas path, mesh=1 (per-call dispatch)")
+        note="explicit shard_map Pallas path, mesh=1, one scanned dispatch "
+             "(repeat_steps); the gap vs the unsharded step is the halo "
+             "machinery the multi-chip path carries")
     # config 4: streaming host loop 1080p@60 ROI + 1/2, measured on the CPU
     # backend in a subprocess — through the axon relay the device->host frame
     # readback (~320 KB/s) is the artifact being avoided; the metric here is
