@@ -191,8 +191,10 @@ def test_band_slider_drag_updates_params(win):
 
     win.push_params()
     s = win.band_slider
-    s.canvas.configure(width=200)
-    _pump(win, 0.3)
+    s.canvas.configure(width=300)
+    _pump(win, 0.5)
+    if s.canvas.winfo_width() < 100:
+        pytest.skip("canvas not realized wide enough for pixel-drag precision")
 
     pushed = []
     orig = win.push_params
