@@ -124,13 +124,15 @@ def step(
     lo_state = tuple(masked(f) for f in state.lo)
     hi_state = tuple(masked(f) for f in state.hi)
 
-    # Per active level: phase diff vs prior, then lo/hi DF-II IIR, then the
-    # fused 13x13-blur normalize+amplify Pallas tail. The element-wise phase
-    # front stays in jnp BY DEFAULT: XLA fuses it into the amplify kernel's
-    # input pipeline, and the all-in-one riesz_phase_df2_fused Pallas pass
-    # (LVMT_PHASE_FUSED=1) measured SLOWER on hardware — 16.9 vs
-    # 15.5 ms/4K-frame same-day A/B — because its 15 HBM output planes undo
-    # what XLA would have fused away.
+    # Per active level: phase diff vs prior, then lo/hi DF-II IIR, then
+    # normalize+amplify. The whole tail stays in jnp BY DEFAULT (round-3
+    # roofline, docs/ROOFLINE.md): the Pallas amplify kernel measured 7.26 vs
+    # 5.64 ms at 4K against the XLA-fused jnp tail (its per-tap scratch-ref
+    # blur accumulation costs more than the lane relayouts it avoids; XLA
+    # cannot fuse producers INTO a pallas_call's operands, so its inputs
+    # materialize either way). The all-in-one riesz_phase_df2_fused pass
+    # (LVMT_PHASE_FUSED=1) also measured slower — 16.9 vs 15.5 ms/4K-frame.
+    # Both kernels remain behind flags for A/B and stay golden-tested.
     from live_video_magnification_tpu.ops.riesz import _use_fused_build
 
     new_lo: List[FilterLevelState] = []
