@@ -254,6 +254,38 @@ def test_laplace_full_chain_grayscale_roi_vs_reference_cpp(ref_harness):
     _assert_chain_matches(frames, cfg, ref)
 
 
+def test_level_clamp_small_frames_vs_reference_cpp(ref_harness):
+    """Requested levels exceed what the frame supports: both sides must clamp
+    via calculateMaxLevels (MagnificationProcessor.cpp:31-34; halve while both
+    dims >5, SpatialFilter.cpp:5-11)."""
+    t, h, w = 16, 40, 56  # max_levels = 3; request 8
+    frames = realistic_clip(t, h, w, FPS, seed=32)
+    ref = run_reference(ref_harness, "laplace", frames, levels=8,
+                        amplification=20.0, co_wavelength=500.0, co_low=0.138,
+                        co_high=0.466)
+    cfg = ProcessorConfig(magnification=MagnificationParams(
+        mode=MagnificationMode.LAPLACE, amplification=20.0, co_wavelength=500.0,
+        co_low=0.138, co_high=0.466, levels=8, framerate=FPS))
+    _assert_chain_matches(frames, cfg, ref)
+
+
+def test_downscale8_full_chain_vs_reference_cpp(ref_harness):
+    """The extreme 1/8 resolution lever (PreprocessProcessor.cpp:36-40) end to
+    end: 240x320 -> 30x40, phase mode."""
+    t, h, w = 16, 240, 320
+    frames = realistic_clip(t, h, w, FPS, seed=33)
+    ref = run_reference(ref_harness, "phase", frames, levels=2,
+                        amplification=30.0, co_wavelength=40.0, co_low=0.5,
+                        co_high=3.0, downscale=8)
+    cfg = ProcessorConfig(
+        preprocess=PreprocessParams(downscale=8),
+        magnification=MagnificationParams(
+            mode=MagnificationMode.PHASE, amplification=30.0,
+            co_wavelength=40.0, co_low=0.5, co_high=3.0, levels=2,
+            framerate=FPS))
+    _assert_chain_matches(frames, cfg, ref)
+
+
 # ------------------------------------------------- the proxy oracle itself
 
 @pytest.mark.parametrize("mode,params", [
