@@ -181,13 +181,24 @@ def step(
             )
             new_lo.append(unflat(lo6))
             new_hi.append(unflat(hi6))
-            lowpasses.append(
-                riesz_amplify_fused(
-                    amplitude, wc, ws,
-                    cur[lvl].lowpass, cur[lvl].riesz.cos, cur[lvl].riesz.sin,
-                    dyn.amplification, dyn.threshold, preweighted=True,
+            if use_pallas is True or _use_amplify_kernel():
+                lowpasses.append(
+                    riesz_amplify_fused(
+                        amplitude, wc, ws,
+                        cur[lvl].lowpass, cur[lvl].riesz.cos, cur[lvl].riesz.sin,
+                        dyn.amplification, dyn.threshold, preweighted=True,
+                    )
                 )
-            )
+            else:
+                # phase kernel + the (measured-faster) jnp blur tail: wc/ws are
+                # already amplitude-weighted, so normalize is blur(w)/blur(amp)
+                from live_video_magnification_tpu.ops.riesz import amplitude_blur
+
+                ab = amplitude_blur(amplitude)
+                normalized = CompExp(amplitude_blur(wc) / ab,
+                                     amplitude_blur(ws) / ab)
+                lowpasses.append(amplify_level(
+                    cur[lvl], normalized, dyn.amplification, dyn.threshold))
             continue
 
         pr = phase_difference_and_amplitude(
