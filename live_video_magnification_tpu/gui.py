@@ -126,6 +126,17 @@ def slider_enforce_gap(low: float, high: float, step: float, mn: float,
     return low, high
 
 
+def slider_move_active(v: float, active: str, low: float, high: float,
+                       step: float, mn: float, mx: float):
+    """Drag semantics (reference RangeSlider.cpp:106-121 moveActiveTo): the
+    ACTIVE handle clamps at other -/+ step; the inactive handle never moves.
+    Returns the new (low, high). Pure."""
+    s = step if step > 0.0 else 1.0
+    if active == "low":
+        return min(max(v, mn), high - s), high
+    return low, max(min(v, mx), low + s)
+
+
 class RangeSlider:
     """Two-handle band slider on a tk Canvas — the reference's RangeSlider
     (RangeSlider.cpp: dual handles that cannot cross, step snap, optional log
@@ -192,14 +203,13 @@ class RangeSlider:
         self._drag(e)
 
     def _drag(self, e):
+        # moveActiveTo (RangeSlider.cpp:106-121): the ACTIVE handle clamps at
+        # other -/+ step; the inactive handle never moves during a drag.
+        # slider_enforce_gap only governs the programmatic set_values/set_range
+        # paths (RangeSlider.cpp:59-68 enforceGap) — ADVICE round-3.
         v = slider_snap(self._to_v(e.x), self.step)
-        v = min(max(v, self.mn), self.mx)
-        if self._active == "low":
-            low, high = v, self.high
-        else:
-            low, high = self.low, v
-        low, high = slider_enforce_gap(low, high, self.step, self.mn, self.mx,
-                                       self._active)
+        low, high = slider_move_active(v, self._active, self.low, self.high,
+                                       self.step, self.mn, self.mx)
         if (low, high) != (self.low, self.high):
             self.low, self.high = low, high
             self._redraw()

@@ -27,6 +27,16 @@ def clip_path(tmp_path_factory):
     return path
 
 
+def _write(path, frames_thwc, fps=20.0):
+    import cv2
+
+    h, w = frames_thwc.shape[1], frames_thwc.shape[2]
+    wtr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h))
+    for f in frames_thwc:
+        wtr.write(np.ascontiguousarray(f))
+    wtr.release()
+
+
 def _read(path):
     import cv2
 
@@ -104,7 +114,7 @@ def test_magnify_resume_writes_part_file_not_truncating(clip_path, tmp_path,
                                                         monkeypatch):
     """A resumed run must NOT truncate the partial output of the interrupted
     run (cv2.VideoWriter reopening would); it writes a .fromN part file."""
-    monkeypatch.setattr(cli, "_concat_resumed_parts", lambda p: None)
+    monkeypatch.setattr(cli, "_concat_resumed_parts", lambda p, **k: None)
     out = str(tmp_path / "out.avi")
     ck = str(tmp_path / "ck")
     # "interrupted" run: first 8 frames, checkpointed
@@ -122,12 +132,17 @@ def test_magnify_resume_writes_part_file_not_truncating(clip_path, tmp_path,
 
 def test_concat_resumed_parts_with_ffmpeg(tmp_path, monkeypatch, capsys):
     """Auto-concat of resume part files (VERDICT round-2 item 6c): with ffmpeg
-    on PATH the parts are merged in frame order into the original output and
-    the part files removed. A stub ffmpeg validates the concat list."""
+    on PATH the MANIFEST-listed parts are merged in frame order into the
+    original output and the part files + manifest removed. A stub ffmpeg
+    validates the concat list. A stale unlisted .fromN file is warned about
+    and left untouched (ADVICE round-3)."""
     out = tmp_path / "clip.avi"
     out.write_bytes(b"BASE")
     (tmp_path / "clip.from8.avi").write_bytes(b"P8")
     (tmp_path / "clip.from20.avi").write_bytes(b"P20")
+    (tmp_path / "clip.from3.avi").write_bytes(b"STALE")  # not in the manifest
+    cli._record_part(str(out), str(tmp_path / "clip.from20.avi"), 20)
+    cli._record_part(str(out), str(tmp_path / "clip.from8.avi"), 8)
     bin_dir = tmp_path / "bin"
     bin_dir.mkdir()
     stub = bin_dir / "ffmpeg"
@@ -141,13 +156,17 @@ def test_concat_resumed_parts_with_ffmpeg(tmp_path, monkeypatch, capsys):
     stub.chmod(0o755)
     monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
     cli._concat_resumed_parts(str(out))
-    assert out.read_bytes() == b"BASEP8P20"  # numeric order, not lexicographic
+    assert out.read_bytes() == b"BASEP8P20"  # manifest start order
     assert not (tmp_path / "clip.from8.avi").exists()
     assert not (tmp_path / "clip.from20.avi").exists()
+    assert not (tmp_path / "clip.parts.json").exists()
+    assert (tmp_path / "clip.from3.avi").read_bytes() == b"STALE"  # untouched
+    assert "unlisted part" in capsys.readouterr().err
 
 
-def test_concat_resumed_parts_without_ffmpeg(tmp_path, monkeypatch, capsys):
-    """Without ffmpeg the parts are kept and the manual instruction printed."""
+def test_concat_skips_unmanifested_parts(tmp_path, monkeypatch, capsys):
+    """Stray .fromN files with no manifest (older interrupted export) are never
+    merged (ADVICE round-3)."""
     out = tmp_path / "clip.avi"
     out.write_bytes(b"BASE")
     (tmp_path / "clip.from8.avi").write_bytes(b"P8")
@@ -155,7 +174,38 @@ def test_concat_resumed_parts_without_ffmpeg(tmp_path, monkeypatch, capsys):
     cli._concat_resumed_parts(str(out))
     assert out.read_bytes() == b"BASE"
     assert (tmp_path / "clip.from8.avi").exists()
-    assert "ffmpeg not found" in capsys.readouterr().err
+    assert "no manifest" in capsys.readouterr().err
+
+
+def test_concat_without_ffmpeg_reencodes_with_cv2(clip_path, tmp_path,
+                                                  monkeypatch, capsys):
+    """Without ffmpeg in the image, the cv2 re-encode fallback still leaves the
+    user ONE playable file (VERDICT round-3 item 7)."""
+    frames = _read(clip_path)
+    out = tmp_path / "clip.avi"
+    part = tmp_path / "clip.from8.avi"
+    _write(str(out), frames[:8])
+    _write(str(part), frames[8:14])
+    cli._record_part(str(out), str(part), 8)
+    monkeypatch.setenv("PATH", str(tmp_path / "definitely-empty"))
+    cli._concat_resumed_parts(str(out), fps=20.0)
+    merged = _read(str(out))
+    assert merged.shape[0] == 14
+    assert not part.exists()
+    assert not (tmp_path / "clip.parts.json").exists()
+    assert "re-encoded the parts with cv2" in capsys.readouterr().err
+
+
+def test_concat_with_missing_manifest_part_keeps_everything(tmp_path,
+                                                            monkeypatch,
+                                                            capsys):
+    out = tmp_path / "clip.avi"
+    out.write_bytes(b"BASE")
+    cli._record_part(str(out), str(tmp_path / "clip.from8.avi"), 8)  # never written
+    monkeypatch.setenv("PATH", str(tmp_path / "definitely-empty"))
+    cli._concat_resumed_parts(str(out))
+    assert out.read_bytes() == b"BASE"
+    assert "missing part" in capsys.readouterr().err
 
 
 def test_magnify_fast_flag_sets_mxu_dtype(clip_path, tmp_path, monkeypatch):

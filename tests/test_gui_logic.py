@@ -21,6 +21,7 @@ from live_video_magnification_tpu.gui import (
     range_label_text,
     slider_enforce_gap,
     slider_frac,
+    slider_move_active,
     slider_snap,
     slider_value,
     trim_set_in,
@@ -137,6 +138,26 @@ def test_slider_enforce_gap_handles_cannot_cross():
     assert hi == 15.0 and lo == pytest.approx(14.95)
     # already-valid gap untouched
     assert slider_enforce_gap(1.0, 5.0, 0.05, 0.05, 15.0, "low") == (1.0, 5.0)
+
+
+def test_slider_drag_never_moves_inactive_handle():
+    # reference moveActiveTo (RangeSlider.cpp:106-121): dragging low past high
+    # clamps LOW at high-step — it never pushes high along (ADVICE round-3).
+    assert slider_move_active(9.0, "low", 2.0, 5.0, 0.05, 0.05, 15.0) == \
+        pytest.approx((4.95, 5.0))
+    # dragging high below low clamps HIGH at low+step, low stays put
+    assert slider_move_active(0.5, "high", 2.0, 5.0, 0.05, 0.05, 15.0) == \
+        pytest.approx((2.0, 2.05))
+    # in-range drags move only the active handle
+    assert slider_move_active(3.0, "low", 2.0, 5.0, 0.05, 0.05, 15.0) == \
+        pytest.approx((3.0, 5.0))
+    assert slider_move_active(10.0, "high", 2.0, 5.0, 0.05, 0.05, 15.0) == \
+        pytest.approx((2.0, 10.0))
+    # track-edge clamps still apply to the active handle
+    assert slider_move_active(-4.0, "low", 2.0, 5.0, 0.05, 0.05, 15.0) == \
+        pytest.approx((0.05, 5.0))
+    assert slider_move_active(99.0, "high", 2.0, 5.0, 0.05, 0.05, 15.0) == \
+        pytest.approx((2.0, 15.0))
 
 
 # ------------------------------------------------------- export config edit
