@@ -128,6 +128,29 @@ def cmd_magnify(args) -> int:
     h, w = probe.shape[0], probe.shape[1]
     cfg = _config_from_args(args, fps)
 
+    if getattr(args, "distributed", False):
+        if split is not SplitMode.NONE or args.checkpoint:
+            print("--distributed does not combine with --split/--checkpoint "
+                  "yet; run without them", file=sys.stderr)
+            return 1
+        from live_video_magnification_tpu.parallel import distributed
+        from live_video_magnification_tpu.parallel.batch_export import (
+            export_video_distributed,
+        )
+
+        distributed.initialize()
+        t0 = time.monotonic()
+        final = export_video_distributed(
+            args.input, args.output, cfg, chunk=args.chunk,
+            file_fps=args.file_fps, start=args.start, end=args.end,
+        )
+        dt = time.monotonic() - t0
+        n_frames = (args.end if args.end is not None else total) - args.start
+        print(f"\nwrote {n_frames} frames to {final} "
+              f"({n_frames/dt:.1f} fps processing, "
+              f"{len(__import__('jax').devices())} devices)", file=sys.stderr)
+        return 0
+
     proc = ClipProcessor(cfg, h, w, channels, time_parallel=args.time_parallel)
     start = args.start
     if args.checkpoint and os.path.exists(args.checkpoint + ".npz"):
@@ -522,6 +545,13 @@ def main(argv=None) -> int:
                    choices=["none", "left-right", "top-bottom"],
                    help="compose original|processed panes like the GUI export")
     p.add_argument("--labels", action="store_true", help="burn in pane labels")
+    p.add_argument("--distributed", action="store_true",
+                   help="BASELINE config-5 program: shard the frame axis over "
+                        "every device of every host (per-host decode of only "
+                        "its shard rows, one T-sharded SPMD call per chunk, "
+                        "per-host encode, ordered concat). Run the same "
+                        "command on every host of a pod slice; single-host it "
+                        "shards over the local devices")
     _add_mag_args(p)
     p.set_defaults(fn=cmd_magnify)
 

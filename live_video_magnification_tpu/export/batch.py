@@ -73,6 +73,7 @@ class ClipProcessor:
 
                 return jax.lax.scan(body, state, frames)
 
+        self._chunk_raw = chunk  # unjitted: the distributed exporter re-jits
         self._chunk = jax.jit(chunk, donate_argnums=(0,))
 
     def process_chunk(self, frames_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -129,3 +129,52 @@ def write_video(path: str, frames: np.ndarray, fps: float, fourcc: str = "mp4v")
         writer.write(frames[i])
     writer.release()
     return path
+
+def concat_videos(paths, output: str, fps: float) -> str:
+    """Concatenate part files into ONE playable file: ffmpeg concat demuxer
+    (stream copy, bit-preserving) when ffmpeg is on PATH, else a cv2
+    re-encode fallback (lossless only for lossless part codecs like FFV1;
+    lossy codecs pay one extra quantization pass) — the reference's
+    codec-fallback philosophy (Exporter.cpp:92-118). Returns the final output
+    path (the cv2 fallback may switch containers). Part files are NOT
+    deleted."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    ext = os.path.splitext(output)[1]
+    out_dir = os.path.dirname(output) or "."
+    if shutil.which("ffmpeg") is not None:
+        tmp_fd, tmp_out = tempfile.mkstemp(suffix=ext, dir=out_dir)
+        os.close(tmp_fd)
+        list_fd, list_path = tempfile.mkstemp(suffix=".txt")
+        try:
+            with os.fdopen(list_fd, "w") as f:
+                for p in paths:
+                    escaped = os.path.abspath(p).replace("'", "'\\''")
+                    f.write(f"file '{escaped}'\n")
+            proc = subprocess.run(
+                ["ffmpeg", "-y", "-f", "concat", "-safe", "0", "-i", list_path,
+                 "-c", "copy", tmp_out],
+                capture_output=True, text=True, timeout=600,
+            )
+            if proc.returncode == 0:
+                os.replace(tmp_out, output)
+                return output
+            os.unlink(tmp_out)  # stream copy failed; fall through to re-encode
+        finally:
+            if os.path.exists(list_path):
+                os.unlink(list_path)
+    wtr = VideoWriterStream(
+        os.path.join(out_dir, f".{os.path.basename(output)}.concat{ext}"), fps)
+    for p in paths:
+        for frame in iter_video(p):
+            wtr.write_chunk(frame[None] if frame.ndim == 3 else frame[None, ..., None])
+    final = wtr.close()
+    if wtr.frames_written == 0:
+        raise IOError("concat re-encode produced no frames")
+    if os.path.splitext(final)[1] != ext:  # writer fell back to another container
+        output = os.path.splitext(output)[0] + os.path.splitext(final)[1]
+    os.replace(final, output)
+    return output

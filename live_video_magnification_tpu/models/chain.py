@@ -80,11 +80,13 @@ class _StaticKey(NamedTuple):
     # Kernel-variant flags (LVMT_PHASE_FUSED / LVMT_TAIL / LVMT_MXU_DTYPE),
     # resolved ONCE at static_key time so toggling an env var after a chain
     # compiled cannot serve a stale trace — the jit cache is keyed on them
-    # (ADVICE round-2). tail_pallas/mxu_bf16 need only BE in the key: the
+    # (ADVICE round-2). tail_mode/mxu_dtype need only BE in the key: the
     # traced functions read the environment themselves at (re)trace time.
+    # Full mode STRINGS, not booleans — LVMT_TAIL=mxu and the hybrid
+    # LVMT_MXU_DTYPE modes must not collide with the defaults (round 4).
     phase_fused: bool = False
-    tail_pallas: bool = False
-    mxu_bf16: bool = False
+    tail_mode: str = "jnp"
+    mxu_dtype: str = "f32"
     mxu_precision: str = "highest"
 
 
@@ -273,8 +275,8 @@ class MagnificationChain:
             mode, levels, mag_channels, channels, h, w, bool(cfg.grayscale), geometry,
             float(cfg.magnification.framerate),
             os.environ.get("LVMT_PHASE_FUSED", "0") == "1",
-            os.environ.get("LVMT_TAIL", "jnp") == "pallas",
-            os.environ.get("LVMT_MXU_DTYPE", "f32") == "bf16",
+            os.environ.get("LVMT_TAIL", "jnp"),
+            os.environ.get("LVMT_MXU_DTYPE", "f32"),
             os.environ.get("LVMT_MXU_PRECISION", "highest").lower(),
         )
 

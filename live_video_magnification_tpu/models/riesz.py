@@ -56,23 +56,32 @@ class RieszDynParams(NamedTuple):
     force_init: jnp.ndarray      # bool: degenerate coefficients -> re-init + passthrough
 
 
-class FilterLevelState(NamedTuple):
-    phase: CompExp  # accumulated quaternionic phase (the filter's unwrap state)
-    reg0: CompExp   # DF-II registers
+class RegPair(NamedTuple):
+    """DF-II register pair of one Butterworth filter (itsRegister0/1,
+    TemporalFilter.cpp:340-351)."""
+
+    reg0: CompExp
     reg1: CompExp
 
 
 class RieszState(NamedTuple):
+    """10 state planes per active level (not 12): the lo and hi filters both
+    accumulate the SAME quaternionic phase diff and are always reset together
+    (MagnifyCore.hpp:243-254), so their unwrap accumulators are provably
+    identical — `acc` carries the shared plane pair once (VERDICT round-3
+    item 2a; the time-parallel scan already exploited this)."""
+
     count: jnp.ndarray
-    old: Tuple[RieszLevel, ...]               # prior pyramid, all `levels` levels
-    lo: Tuple[FilterLevelState, ...]          # per active level (levels-1 entries)
-    hi: Tuple[FilterLevelState, ...]
+    old: Tuple[RieszLevel, ...]    # prior pyramid, all `levels` levels
+    acc: Tuple[CompExp, ...]       # shared accumulated phase, per active level
+    lo: Tuple[RegPair, ...]        # per active level (levels-1 entries)
+    hi: Tuple[RegPair, ...]
 
 
-def _zero_filter_level(h: int, w: int) -> FilterLevelState:
+def _zero_reg_pair(h: int, w: int) -> RegPair:
     # Distinct arrays per leaf: shared buffers would break argument donation.
     z = lambda: jnp.zeros((h, w), jnp.float32)
-    return FilterLevelState(CompExp(z(), z()), CompExp(z(), z()), CompExp(z(), z()))
+    return RegPair(CompExp(z(), z()), CompExp(z(), z()))
 
 
 def init_state(h: int, w: int, levels: int) -> RieszState:
@@ -84,9 +93,13 @@ def init_state(h: int, w: int, levels: int) -> RieszState:
         )
         for lh, lw in sizes
     )
-    lo = tuple(_zero_filter_level(lh, lw) for lh, lw in sizes[: levels - 1])
-    hi = tuple(_zero_filter_level(lh, lw) for lh, lw in sizes[: levels - 1])
-    return RieszState(jnp.zeros((), jnp.int32), old, lo, hi)
+    acc = tuple(
+        CompExp(jnp.zeros((lh, lw), jnp.float32), jnp.zeros((lh, lw), jnp.float32))
+        for lh, lw in sizes[: levels - 1]
+    )
+    lo = tuple(_zero_reg_pair(lh, lw) for lh, lw in sizes[: levels - 1])
+    hi = tuple(_zero_reg_pair(lh, lw) for lh, lw in sizes[: levels - 1])
+    return RieszState(jnp.zeros((), jnp.int32), old, acc, lo, hi)
 
 
 def step(
@@ -118,9 +131,10 @@ def step(
         for c, o in zip(cur, state.old)
     )
 
-    def masked(fl: FilterLevelState) -> FilterLevelState:
+    def masked(fl):
         return jax.tree.map(lambda x: jnp.where(zero_filters, 0.0, x), fl)
 
+    acc_state = tuple(masked(a) for a in state.acc)
     lo_state = tuple(masked(f) for f in state.lo)
     hi_state = tuple(masked(f) for f in state.hi)
 
@@ -135,17 +149,29 @@ def step(
     # Both kernels remain behind flags for A/B and stay golden-tested.
     from live_video_magnification_tpu.ops.riesz import _use_fused_build
 
-    new_lo: List[FilterLevelState] = []
-    new_hi: List[FilterLevelState] = []
+    new_acc: List[CompExp] = []
+    new_lo: List[RegPair] = []
+    new_hi: List[RegPair] = []
     lowpasses: List[jnp.ndarray] = []
 
     # Resolved by the CALLER at build time (chain static key / bench flag), never
     # from the environment inside a traced body (ADVICE round-2).
     phase_kernel = phase_fused
-    from live_video_magnification_tpu.ops.riesz import _use_amplify_kernel
+    from live_video_magnification_tpu.ops.riesz import (
+        _tail_mode,
+        _use_amplify_kernel,
+        _use_mxu,
+    )
 
     for lvl in range(levels - 1):
         lh, lw = cur[lvl].lowpass.shape[-2], cur[lvl].lowpass.shape[-1]
+        # LVMT_TAIL=mxu: banded-matmul blur tail (riesz_amplify_mxu) at
+        # MXU-sized levels; smaller levels fall through to the jnp tail.
+        mxu_tail = (
+            use_pallas is None and not phase_kernel
+            and cur[lvl].lowpass.ndim == 2
+            and _tail_mode() == "mxu" and _use_mxu(lh, lw)
+        )
         # The TAIL defaults to jnp even when the MXU build/collapse kernels are
         # on: the jnp normalize+amplify (XLA-fused blurs) measured FASTER than
         # riesz_amplify_fused at 4K (5.64 vs 7.26 ms, same-day A/B — see
@@ -163,9 +189,11 @@ def step(
                 riesz_phase_df2_fused,
             )
 
-            def flat(fl: FilterLevelState):
-                return (fl.phase.cos, fl.phase.sin, fl.reg0.cos, fl.reg0.sin,
-                        fl.reg1.cos, fl.reg1.sin)
+            def flat(rp: RegPair):
+                # the kernel's per-filter 6-plane layout; the shared acc is
+                # fed to both filters (they accumulate identically)
+                return (state.acc[lvl].cos, state.acc[lvl].sin,
+                        rp.reg0.cos, rp.reg0.sin, rp.reg1.cos, rp.reg1.sin)
 
             # raw prior/state: the kernel applies rebuild/zeroing itself
             amplitude, wc, ws, lo6, hi6 = riesz_phase_df2_fused(
@@ -176,9 +204,8 @@ def step(
                 dyn.b_lo, dyn.a_lo, dyn.b_hi, dyn.a_hi,
                 rebuild_old,
             )
-            unflat = lambda t: FilterLevelState(
-                CompExp(t[0], t[1]), CompExp(t[2], t[3]), CompExp(t[4], t[5])
-            )
+            unflat = lambda t: RegPair(CompExp(t[2], t[3]), CompExp(t[4], t[5]))
+            new_acc.append(CompExp(lo6[0], lo6[1]))  # == hi6[0..1]
             new_lo.append(unflat(lo6))
             new_hi.append(unflat(hi6))
             if use_pallas is True or _use_amplify_kernel():
@@ -202,18 +229,35 @@ def step(
             continue
 
         pr = phase_difference_and_amplitude(
-            cur[lvl], old[lvl], compute_blur=not fused_tail
+            cur[lvl], old[lvl], compute_blur=not (fused_tail or mxu_tail)
         )
-        lo_res, lo_phase, lo_r0, lo_r1 = riesz_df2_step(
-            lo_state[lvl].phase, lo_state[lvl].reg0, lo_state[lvl].reg1,
+        # Both filters read the SAME shared accumulator; XLA CSEs the duplicate
+        # acc+diff, so only one accumulated-phase pair is computed and stored.
+        lo_res, phase, lo_r0, lo_r1 = riesz_df2_step(
+            acc_state[lvl], lo_state[lvl].reg0, lo_state[lvl].reg1,
             pr.phase_diff, dyn.b_lo, dyn.a_lo,
         )
-        hi_res, hi_phase, hi_r0, hi_r1 = riesz_df2_step(
-            hi_state[lvl].phase, hi_state[lvl].reg0, hi_state[lvl].reg1,
+        hi_res, _, hi_r0, hi_r1 = riesz_df2_step(
+            acc_state[lvl], hi_state[lvl].reg0, hi_state[lvl].reg1,
             pr.phase_diff, dyn.b_hi, dyn.a_hi,
         )
-        new_lo.append(FilterLevelState(lo_phase, lo_r0, lo_r1))
-        new_hi.append(FilterLevelState(hi_phase, hi_r0, hi_r1))
+        new_acc.append(phase)
+        new_lo.append(RegPair(lo_r0, lo_r1))
+        new_hi.append(RegPair(hi_r0, hi_r1))
+        if mxu_tail:
+            from live_video_magnification_tpu.ops.pallas.riesz_amplify_mxu import (
+                riesz_amplify_mxu,
+            )
+
+            change = hi_res - lo_res
+            lowpasses.append(
+                riesz_amplify_mxu(
+                    pr.amplitude, change.cos, change.sin,
+                    cur[lvl].lowpass, cur[lvl].riesz.cos, cur[lvl].riesz.sin,
+                    dyn.amplification, dyn.threshold,
+                )
+            )
+            continue
         if fused_tail:  # default: jnp front + fused blur/amplify tail
             from live_video_magnification_tpu.ops.pallas.riesz_amplify import (
                 riesz_amplify_fused,
@@ -248,7 +292,8 @@ def step(
 
     # "*st.old = *st.cur" — the prior pyramid becomes this frame's (band + Riesz).
     new_old = tuple(RieszLevel(c.lowpass, c.riesz) for c in cur)
-    new_state = RieszState(state.count + 1, new_old, tuple(new_lo), tuple(new_hi))
+    new_state = RieszState(state.count + 1, new_old, tuple(new_acc),
+                           tuple(new_lo), tuple(new_hi))
     return new_state, out_u8
 
 
@@ -318,24 +363,25 @@ def process_clip_parallel(
     def masked(x):
         return jnp.where(first, jnp.zeros_like(x), x)
 
-    def dual(diff, lo_fls: FilterLevelState, hi_fls: FilterLevelState, comp):
+    def dual(diff, acc: CompExp, lo_rp: RegPair, hi_rp: RegPair, comp):
         """Fused phase-accumulate + lo&hi DF-II for one (cos|sin) component:
         ONE 5-plane associative scan instead of 2 cumsums + 4 register scans
-        (df2_dual_filter_parallel). The lo/hi phase accumulators are a single
-        shared plane — the reference resets both filters together
-        (MagnifyCore.hpp:243-254) and feeds both the same diff, so they are
-        identical by construction (init_state zeroes both)."""
+        (df2_dual_filter_parallel). The shared phase accumulator is carried
+        ONCE in the state (RieszState.acc) — the reference resets both
+        filters together (MagnifyCore.hpp:243-254) and feeds both the same
+        diff, so they are identical by construction."""
         sel = (lambda ce: ce.cos) if comp == 0 else (lambda ce: ce.sin)
         return df2_dual_filter_parallel(
             sel(diff), dyn.b_lo, dyn.a_lo, dyn.b_hi, dyn.a_hi,
-            acc_init=masked(sel(lo_fls.phase)),
-            lo_init=(masked(sel(lo_fls.reg0)), masked(sel(lo_fls.reg1))),
-            hi_init=(masked(sel(hi_fls.reg0)), masked(sel(hi_fls.reg1))),
+            acc_init=masked(sel(acc)),
+            lo_init=(masked(sel(lo_rp.reg0)), masked(sel(lo_rp.reg1))),
+            hi_init=(masked(sel(hi_rp.reg0)), masked(sel(hi_rp.reg1))),
         )
 
     lowpasses: List[jnp.ndarray] = []
-    new_lo: List[FilterLevelState] = []
-    new_hi: List[FilterLevelState] = []
+    new_acc: List[CompExp] = []
+    new_lo: List[RegPair] = []
+    new_hi: List[RegPair] = []
     for lvl in range(levels - 1):
         cur = pyrs[lvl]
         # prior[t] = cur[t-1]; prior[0] = carried pyramid, or cur[0] on the
@@ -347,17 +393,17 @@ def process_clip_parallel(
             cur, state.old[lvl],
         )
         pr = jax.vmap(phase_difference_and_amplitude)(cur, prior)
-        ylo_c, yhi_c, acc_c, fin_c = dual(pr.phase_diff, state.lo[lvl],
-                                          state.hi[lvl], 0)
-        ylo_s, yhi_s, acc_s, fin_s = dual(pr.phase_diff, state.lo[lvl],
-                                          state.hi[lvl], 1)
+        ylo_c, yhi_c, acc_c, fin_c = dual(pr.phase_diff, state.acc[lvl],
+                                          state.lo[lvl], state.hi[lvl], 0)
+        ylo_s, yhi_s, acc_s, fin_s = dual(pr.phase_diff, state.acc[lvl],
+                                          state.lo[lvl], state.hi[lvl], 1)
         lo_res = CompExp(ylo_c, ylo_s)
         hi_res = CompExp(yhi_c, yhi_s)
-        acc_final = CompExp(fin_c[0], fin_s[0])
-        new_lo.append(FilterLevelState(
-            acc_final, CompExp(fin_c[1], fin_s[1]), CompExp(fin_c[2], fin_s[2])))
-        new_hi.append(FilterLevelState(
-            acc_final, CompExp(fin_c[3], fin_s[3]), CompExp(fin_c[4], fin_s[4])))
+        new_acc.append(CompExp(fin_c[0], fin_s[0]))
+        new_lo.append(RegPair(
+            CompExp(fin_c[1], fin_s[1]), CompExp(fin_c[2], fin_s[2])))
+        new_hi.append(RegPair(
+            CompExp(fin_c[3], fin_s[3]), CompExp(fin_c[4], fin_s[4])))
         normalized = jax.vmap(normalize_phase)(
             hi_res, lo_res, pr.amplitude, pr.amplitude_blurred
         )
@@ -382,5 +428,6 @@ def process_clip_parallel(
         RieszLevel(p.lowpass[-1], CompExp(p.riesz.cos[-1], p.riesz.sin[-1]))
         for p in pyrs
     )
-    new_state = RieszState(state.count + t, new_old, tuple(new_lo), tuple(new_hi))
+    new_state = RieszState(state.count + t, new_old, tuple(new_acc),
+                           tuple(new_lo), tuple(new_hi))
     return new_state, outs

@@ -68,10 +68,15 @@ def _mxu_bf16() -> bool:
     (f32 accumulate) — the MXU's native rate. Off by default: the cast costs
     up to ~1 u8 LSB vs the f32 path (taps and pixel values at 2^-8 relative),
     so it is an opt-in fast mode; see docs/ROOFLINE.md for the measured
-    fps/PSNR trade."""
+    fps/PSNR trade. The hybrid modes (LVMT_MXU_DTYPE=hybrid / hybrid-band)
+    resolve per LEVEL/OP in ops/riesz.py and pass `bf16` explicitly."""
     import os
 
     return os.environ.get("LVMT_MXU_DTYPE", "f32") == "bf16"
+
+
+def _resolve_bf16(bf16) -> bool:
+    return _mxu_bf16() if bf16 is None else bool(bf16)
 
 
 def _mxu_dot(a, b, bf16: bool = False, prec: str = "highest"):
@@ -180,7 +185,8 @@ def _run_dense(padded: jnp.ndarray, bank: jnp.ndarray, interpret: bool = False,
     )(padded, bank)
 
 
-def conv9_mxu(x: jnp.ndarray, kernel9, interpret: bool = False) -> jnp.ndarray:
+def conv9_mxu(x: jnp.ndarray, kernel9, interpret: bool = False,
+              bf16: bool | None = None) -> jnp.ndarray:
     """correlate2d(x, kernel9) with BORDER_REFLECT_101 via MXU banded matmuls.
 
     x: [H, W] f32 with min(H, W) >= 9 (use MIN_MXU_DIM gating for speed).
@@ -196,7 +202,7 @@ def conv9_mxu(x: jnp.ndarray, kernel9, interpret: bool = False) -> jnp.ndarray:
         p, ((0, n_tiles * _TILE_R + 8 - (h + 8)), (0, wp - (w + 8))), mode="edge"
     )
     bank = jnp.asarray(_dense_bank(k))
-    out = _run_dense(p, bank, interpret=interpret, bf16=_mxu_bf16(),
+    out = _run_dense(p, bank, interpret=interpret, bf16=_resolve_bf16(bf16),
                      prec=_mxu_precision_name())
     return out[:h, :w]
 
@@ -260,7 +266,8 @@ def _run_inject(sp: jnp.ndarray, e_bank, o_bank, interpret: bool = False,
 
 
 def lp9_inject_mxu(
-    small: jnp.ndarray, kernel9, out_hw: Tuple[int, int], interpret: bool = False
+    small: jnp.ndarray, kernel9, out_hw: Tuple[int, int], interpret: bool = False,
+    bf16: bool | None = None,
 ) -> jnp.ndarray:
     """correlate2d(zero_inject(small, out_hw), kernel9) with reflect-101 —
     the Riesz-collapse upsample term. out_hw must be (2*sh, 2*sw) (even dims).
@@ -282,7 +289,7 @@ def lp9_inject_mxu(
     e_bank = jnp.asarray(_inject_bank(k, 0))
     o_bank = jnp.asarray(_inject_bank(k, 1))
     out = _run_inject(sp, e_bank, o_bank, interpret=interpret,
-                      bf16=_mxu_bf16(), prec=_mxu_precision_name())
+                      bf16=_resolve_bf16(bf16), prec=_mxu_precision_name())
     out = out[:sh, :, :w].reshape(h, w)
     return out
 
@@ -357,7 +364,7 @@ def _run_band(padded: jnp.ndarray, taps, interpret: bool = False,
 
 
 def band5_mxu(
-    hp: jnp.ndarray, taps, interpret: bool = False
+    hp: jnp.ndarray, taps, interpret: bool = False, bf16: bool | None = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(correlate_rows(hp, taps), correlate_cols(hp, taps)) — the Riesz band
     pair (RieszPyramid.cpp:66-78) — reflect-101, via MXU band matmuls."""
@@ -371,7 +378,7 @@ def band5_mxu(
     p = jnp.pad(
         p, ((0, n_tiles * _TILE_R + 8 - (h + 4)), (0, wp - (w + 4))), mode="edge"
     )
-    r, i = _run_band(p, taps, interpret=interpret, bf16=_mxu_bf16(),
+    r, i = _run_band(p, taps, interpret=interpret, bf16=_resolve_bf16(bf16),
                      prec=_mxu_precision_name())
     return r[:h, :w], i[:h, :w]
 
@@ -451,7 +458,7 @@ def _run_dec(pe: jnp.ndarray, po: jnp.ndarray, e_bank, o_bank,
 
 
 def lp9_decimate_mxu(
-    x: jnp.ndarray, kernel9, interpret: bool = False
+    x: jnp.ndarray, kernel9, interpret: bool = False, bf16: bool | None = None
 ) -> jnp.ndarray:
     """correlate2d(x, kernel9)[::2, ::2] — the pyramid low-pass + even-pixel
     decimation (RieszPyramid.cpp:254-278) — computed only at the decimated
@@ -475,5 +482,5 @@ def lp9_decimate_mxu(
     e_bank = jnp.asarray(_dec_bank(k, 0))
     o_bank = jnp.asarray(_dec_bank(k, 1))
     out = _run_dec(pe, po, e_bank, o_bank, interpret=interpret,
-                   bf16=_mxu_bf16(), prec=_mxu_precision_name())
+                   bf16=_resolve_bf16(bf16), prec=_mxu_precision_name())
     return out[:h2, :w2]

@@ -1,0 +1,186 @@
+"""Riesz normalize + amplify with MXU-banded 13-tap blurs (Pallas TPU kernel).
+
+Same math as riesz_amplify.py (the per-level tail, RieszPyramid.cpp:114-144):
+
+    ab  = gauss13(amplitude)
+    n_c = gauss13(change_c * amplitude) / ab
+    n_s = gauss13(change_s * amplitude) / ab
+    mag  = sqrt(n_c^2 + n_s^2);  mag2 = min(mag * alpha, threshold)
+    pair = nan_to_zero((riesz_r * n_c + riesz_i * n_s) / mag)
+    out  = lowpass * cos(mag2) - pair * sin(mag2)
+
+but the three separable 13-tap Gaussians ride the MXU instead of VPU
+scratch-ref accumulation: the vertical taps are 13 sublane-shifted
+multiply-adds on a VMEM strip (cheap — sublane shifts need no relayout) and
+the horizontal taps become ONE banded matmul per 128-lane output block,
+
+    out[y, 128j + q] = sum_p vert[y, 128j + p] * B[p, q],
+    B[p, q] = g[p - q]  when 0 <= p - q <= 12, else 0,
+
+i.e. a (tile, 256) x (256, 128) product — the same proven formulation as the
+9x9 pyramid stencils (conv9_mxu.py). This was the round-3 roofline's named
+candidate for the tail (docs/ROOFLINE.md: the scratch-ref kernel lost to
+XLA's fused shifted-add blurs at 7.26 vs 5.64 ms/4K-frame; per-tap scratch
+passes + a cross-lane relayout per horizontal tap). Here each blur is
+13 shifted VPU multiply-adds + one MXU pass, with all element-wise math
+fused in VMEM and ONE output plane written.
+
+Traffic per level: 6 input planes + 1 output = 7 plane passes, vs the jnp
+tail's 3 blur inputs + ~6 blur intermediates + output.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from live_video_magnification_tpu.ops.kernels import AMPLITUDE_BLUR_KERNEL_1D
+from live_video_magnification_tpu.ops.pallas.conv9_mxu import (
+    _mxu_bf16,
+    _mxu_dot,
+    _mxu_precision_name,
+)
+
+_LANES = 128
+_HALO = 6                    # 13-tap reach
+_TILE = 64                   # output rows per grid step
+_STRIP = _TILE + 2 * _HALO + 4   # = 80, 8-row-aligned DMA strip height
+_TAPS = [float(v) for v in AMPLITUDE_BLUR_KERNEL_1D]
+
+
+def _blur_bank() -> np.ndarray:
+    """B[p, q] = g[p - q] for 0 <= p - q <= 12. Shape (256, 128)."""
+    bank = np.zeros((2 * _LANES, _LANES), np.float32)
+    for q in range(_LANES):
+        for b in range(13):
+            bank[q + b, q] = _TAPS[b]
+    return bank
+
+
+def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, bank_ref, lp_ref, rr_ref, ri_ref,
+            out_ref, amp_v, cc_v, cs_v, sems,
+            *, n_blocks: int, preweighted: bool, bf16: bool, prec: str):
+    ti = pl.program_id(0)
+    alpha = scalars[0, 0]
+    threshold = scalars[0, 1]
+
+    copies = []
+    for k, (src, dst) in enumerate([(amp_hbm, amp_v), (cc_hbm, cc_v),
+                                    (cs_hbm, cs_v)]):
+        cp = pltpu.make_async_copy(src.at[pl.ds(ti * _TILE, _STRIP), :], dst,
+                                   sems.at[k])
+        cp.start()
+        copies.append(cp)
+    for cp in copies:
+        cp.wait()
+
+    for j in range(n_blocks):
+        cols = slice(j * _LANES, j * _LANES + 2 * _LANES)
+
+        def vert(strip_ref, weight_ref=None):
+            acc = None
+            for a in range(13):
+                term = strip_ref[a : a + _TILE, cols]
+                if weight_ref is not None:
+                    term = term * weight_ref[a : a + _TILE, cols]
+                term = term * _TAPS[a]
+                acc = term if acc is None else acc + term
+            return acc
+
+        ba = _mxu_dot(vert(amp_v), bank_ref[:], bf16, prec)
+        wref = None if preweighted else amp_v
+        bc = _mxu_dot(vert(cc_v, wref), bank_ref[:], bf16, prec)
+        bs = _mxu_dot(vert(cs_v, wref), bank_ref[:], bf16, prec)
+
+        nc = bc / ba
+        ns = bs / ba
+        mag = jnp.sqrt(nc * nc + ns * ns)
+        mag2 = jnp.minimum(mag * alpha, threshold)  # cv::THRESH_TRUNC
+        ocols = slice(j * _LANES, (j + 1) * _LANES)
+        pair = (rr_ref[:, ocols] * nc + ri_ref[:, ocols] * ns) / mag
+        pair = jnp.where(jnp.isnan(pair), 0.0, pair)
+        out_ref[:, ocols] = (lp_ref[:, ocols] * jnp.cos(mag2)
+                             - pair * jnp.sin(mag2))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "preweighted", "bf16", "prec")
+)
+def _run(scalars, amp_p, cc_p, cs_p, lp_a, rr_a, ri_a,
+         interpret: bool = False, preweighted: bool = False,
+         bf16: bool = False, prec: str = "highest"):
+    hp, wp = amp_p.shape          # (n_tiles*_TILE + _STRIP - _TILE, blocks*128 + 128)
+    h_out, w_pad = lp_a.shape     # aligned output size
+    n_tiles = h_out // _TILE
+    n_blocks = w_pad // _LANES
+    kernel = functools.partial(_kernel, n_blocks=n_blocks,
+                               preweighted=preweighted, bf16=bf16, prec=prec)
+    bank = jnp.asarray(_blur_bank())
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        + [pl.BlockSpec((2 * _LANES, _LANES), lambda i: (0, 0))]
+        + [pl.BlockSpec((_TILE, w_pad), lambda i: (i, 0))] * 3,
+        out_specs=pl.BlockSpec((_TILE, w_pad), lambda i: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((_STRIP, wp), jnp.float32)] * 3
+        + [pltpu.SemaphoreType.DMA((3,))],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((h_out, w_pad), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, amp_p, cc_p, cs_p, bank, lp_a, rr_a, ri_a)
+
+
+def riesz_amplify_mxu(
+    amplitude: jnp.ndarray,
+    change_c: jnp.ndarray,
+    change_s: jnp.ndarray,
+    lowpass: jnp.ndarray,
+    riesz_r: jnp.ndarray,
+    riesz_i: jnp.ndarray,
+    alpha,
+    threshold,
+    interpret: bool = False,
+    preweighted: bool = False,
+) -> jnp.ndarray:
+    """Fused normalize+amplify for one [H, W] level via MXU-banded blurs.
+    Same semantics as riesz_amplify_fused (normalize_phase + amplify_level of
+    ops/riesz.py); preweighted=True means change_c/s already carry the
+    amplitude factor."""
+    h, w = amplitude.shape
+    h_out = -(-h // _TILE) * _TILE
+    n_blocks = -(-w // _LANES)
+    w_pad = n_blocks * _LANES
+    wp = (n_blocks + 1) * _LANES  # slab cols 128j .. 128j+255 must exist
+
+    def prep_blur(x):
+        # reflect-101 halo, then alignment padding (junk region never read
+        # into a real output: the band is zero past p - q > 12 only within
+        # the slab — pad with edge values so matmul stays finite)
+        p = jnp.pad(x, ((_HALO, _HALO), (_HALO, _HALO)), mode="reflect")
+        return jnp.pad(
+            p,
+            ((0, (h_out + _STRIP - _TILE) - (h + 2 * _HALO)),
+             (0, wp - (w + 2 * _HALO))),
+            mode="edge",
+        )
+
+    def prep_ew(x):  # element-wise inputs: plain alignment padding
+        return jnp.pad(x, ((0, h_out - h), (0, w_pad - w)), mode="edge")
+
+    scalars = jnp.stack([jnp.asarray(alpha, jnp.float32),
+                         jnp.asarray(threshold, jnp.float32)]).reshape(1, 2)
+    out = _run(scalars, prep_blur(amplitude), prep_blur(change_c),
+               prep_blur(change_s), prep_ew(lowpass), prep_ew(riesz_r),
+               prep_ew(riesz_i), interpret=interpret, preweighted=preweighted,
+               bf16=_mxu_bf16(), prec=_mxu_precision_name())
+    return out[:h, :w]

@@ -82,16 +82,41 @@ def _use_fused_build(h: int, w: int) -> bool:
     return jax.default_backend() != "cpu"
 
 
+def _tail_mode() -> str:
+    """Streaming-tail implementation, LVMT_TAIL in {jnp, pallas, mxu}.
+
+    'jnp' (default): XLA-fused shifted-add 13-tap blurs — measured 5.64 ms vs
+    the scratch-ref kernel's 7.26 ms at 4K (round-3 A/B, docs/ROOFLINE.md).
+    'pallas': the riesz_amplify_fused VPU kernel (kept for A/B).
+    'mxu': riesz_amplify_mxu — banded-matmul blurs in the proven conv9_mxu
+    formulation (round-4 candidate for the remaining tail gap)."""
+    return os.environ.get("LVMT_TAIL", "jnp")
+
+
 def _use_amplify_kernel() -> bool:
     """Whether the streaming tail uses the riesz_amplify_fused Pallas kernel
-    (LVMT_TAIL=pallas) instead of the default jnp normalize+amplify.
+    (LVMT_TAIL=pallas) instead of the default jnp normalize+amplify."""
+    return _tail_mode() == "pallas"
 
-    Default is the JNP tail: same-session 4K A/B (2026-08-21, docs/ROOFLINE.md)
-    measured the XLA-fused shifted-add 13-tap blurs at 5.64 ms/frame vs the
-    kernel's 7.26 ms — the kernel's per-tap scratch-ref accumulation costs more
-    than the lane relayouts it avoids. The MXU build/collapse kernels remain on
-    (full-jnp everything measured 75.6 ms)."""
-    return os.environ.get("LVMT_TAIL", "jnp") == "pallas"
+
+def _hybrid_bf16(lvl: int):
+    """Per-level (conv_bf16, band_bf16) for the MXU fast modes; None = the
+    plain env-driven f32/bf16 resolution inside the kernels.
+
+    LVMT_MXU_DTYPE=hybrid: the FINEST level (lvl 0) keeps f32 operands, all
+    coarser levels run bf16 — the bf16 outlier pixels (max u8 delta 140,
+    MXU_BF16_AB.json) sit at phase singularities whose reconstruction weight
+    is dominated by the finest band, so this targets them at ~the bf16 rate
+    (level 0 is 3/4 of the pixel mass but its stencils are the most
+    MXU-efficient). LVMT_MXU_DTYPE=hybrid-band: the 1x5 Riesz band pair
+    (whose output feeds the phase quotient directly) stays f32 everywhere,
+    the 9x9 smoothing stencils go bf16."""
+    mode = os.environ.get("LVMT_MXU_DTYPE", "f32")
+    if mode == "hybrid":
+        return (lvl > 0, lvl > 0)
+    if mode == "hybrid-band":
+        return (True, False)
+    return (None, None)
 
 
 def build_riesz_pyramid(
@@ -111,7 +136,7 @@ def build_riesz_pyramid(
     LVMT_BUILD=fused forces the VPU fused kernel (A/B lever)."""
     pyr = []
     octave = frame
-    for _ in range(levels - 1):
+    for lvl in range(levels - 1):
         h, w = octave.shape[-2], octave.shape[-1]
         fused_ok = use_pallas if use_pallas is not None else _use_fused_build(h, w)
         # An explicit use_pallas=True still goes through _use_mxu (backend +
@@ -129,9 +154,11 @@ def build_riesz_pyramid(
                 lp9_decimate_mxu,
             )
 
-            hp = conv9_mxu(octave, RIESZ_HIGHPASS_9x9)
-            r, i = band5_mxu(hp, RIESZ_BAND_KERNEL)
-            sub = lp9_decimate_mxu(octave, 2.0 * RIESZ_LOWPASS_9x9)
+            conv_bf16, band_bf16 = _hybrid_bf16(lvl)
+            hp = conv9_mxu(octave, RIESZ_HIGHPASS_9x9, bf16=conv_bf16)
+            r, i = band5_mxu(hp, RIESZ_BAND_KERNEL, bf16=band_bf16)
+            sub = lp9_decimate_mxu(octave, 2.0 * RIESZ_LOWPASS_9x9,
+                                   bf16=conv_bf16)
             pyr.append(RieszLevel(lowpass=hp, riesz=CompExp(r, i)))
             octave = sub
         elif octave.ndim == 2 and fused_ok and min(h, w) >= 16:
@@ -274,8 +301,10 @@ def collapse_riesz_pyramid(
                 lp9_inject_mxu,
             )
 
-            lp = lp9_inject_mxu(result, 2.0 * RIESZ_LOWPASS_9x9, (h, w))
-            hp = conv9_mxu(octave, RIESZ_HIGHPASS_9x9)
+            conv_bf16, _band = _hybrid_bf16(lvl)
+            lp = lp9_inject_mxu(result, 2.0 * RIESZ_LOWPASS_9x9, (h, w),
+                                bf16=conv_bf16)
+            hp = conv9_mxu(octave, RIESZ_HIGHPASS_9x9, bf16=conv_bf16)
         else:
             up_zero = resize_nearest_even_inject(result, (h, w))
             lp = correlate2d(up_zero, 2.0 * RIESZ_LOWPASS_9x9)

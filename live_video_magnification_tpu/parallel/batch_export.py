@@ -1,0 +1,235 @@
+"""BASELINE config 5 end-to-end: the N-host distributed batch-export program.
+
+The reference's export is a single worker thread feeding frames strictly in
+order through one fixed-config chain (Exporter.cpp:202-207). The TPU-native
+distributed form keeps those semantics — fixed config for the whole file,
+frames ordered in the output — while sharding the TIME axis over every chip
+of every host (VERDICT round-3 item 3):
+
+  per host:  decode ONLY the frame rows of this chunk that its own devices
+             shard (addressable-shard index map — no host decodes the whole
+             clip)                                             [host CPU]
+  global:    ONE T-sharded jitted call of the sequence-parallel clip function
+             (models/*.process_clip_parallel): every per-frame stage vmapped,
+             the temporal recurrences as associative scans that XLA splits
+             into local scans + shard-boundary combines over ICI/DCN — the
+             IIR/window carry handoff between neighbor shards IS those
+             combines, not hand-written messages              [TPU, SPMD]
+  per host:  encode its own addressable output shards into per-(chunk, shard)
+             part files                                        [host CPU]
+  coordinator: concatenate the parts in (chunk, shard) order → ONE file.
+
+The carried state (prior pyramid, DF-II registers / rolling window) crosses
+chunk boundaries exactly as in the single-process ClipProcessor, so a
+distributed export, a --time-parallel export, and a sequential export are
+interchangeable mid-stream (same pytree; checkpoints compatible). A final
+partial chunk (fewer frames than the mesh is wide) runs through the same
+clip function unsharded.
+
+Single-process emulation: on one host the same program runs over the local
+device mesh (the 8-device virtual CPU mesh in tests; the driver's
+dryrun_multichip covers the compile + execute of the sharded call).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from live_video_magnification_tpu.export.batch import ClipProcessor
+from live_video_magnification_tpu.models.params import ProcessorConfig
+from live_video_magnification_tpu.parallel.mesh import make_mesh
+
+
+class DistributedClipExporter:
+    """T-sharded chunk processor with carried state (config-5 compute core).
+
+    mesh: 1-axis ("time",) mesh over the devices to shard the frame axis on;
+    default = every device visible to this runtime (all hosts' chips).
+    """
+
+    def __init__(self, cfg: ProcessorConfig, h: int, w: int, channels: int,
+                 mesh: Optional[Mesh] = None):
+        if mesh is None:
+            mesh = make_mesh((len(jax.devices()),), ("time",))
+        assert len(mesh.axis_names) == 1, "batch_export shards one (time) axis"
+        self.mesh = mesh
+        self.n_shards = int(np.prod(mesh.devices.shape))
+        self.proc = ClipProcessor(cfg, h, w, channels, time_parallel=True)
+        self._dyn = self.proc._dyn
+
+        axis = mesh.axis_names[0]
+        self._frames_sharding = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+        state_sh = jax.tree.map(lambda _: repl, self.proc.state)
+        self._sharded_chunk = jax.jit(
+            self.proc._chunk_raw,
+            in_shardings=(state_sh, self._frames_sharding, None),
+            out_shardings=(state_sh,
+                           (self._frames_sharding, self._frames_sharding)),
+            donate_argnums=(0,),
+        )
+        # the final partial chunk runs the SAME clip fn unsharded
+        self._plain_chunk = jax.jit(self.proc._chunk_raw, donate_argnums=(0,))
+        self.state = jax.device_put(self.proc.state, state_sh)
+        self.cursor = 0
+
+    # -- host-side shard bookkeeping ------------------------------------------------------------
+
+    def local_rows(self, chunk_len: int) -> List[Tuple[int, int, int]]:
+        """The (shard_index, row_start, row_end) triples of `chunk_len` frames
+        that THIS process's devices own — the rows this host must decode and
+        the output segments it must encode. Rows are chunk-relative."""
+        shape = (chunk_len,)
+        idx_map = self._frames_sharding.addressable_devices_indices_map(shape)
+        out = []
+        per = chunk_len // self.n_shards
+        for dev, idx in idx_map.items():
+            sl = idx[0]
+            start = sl.start or 0
+            stop = sl.stop if sl.stop is not None else chunk_len
+            out.append((start // per, start, stop))
+        out.sort()
+        return out
+
+    # -- processing -----------------------------------------------------------------------------
+
+    def process_chunk(self, frames_u8_local: np.ndarray, chunk_len: int):
+        """Process one global chunk of `chunk_len` frames.
+
+        frames_u8_local: [T_local, C, H, W] u8 — the concatenation of this
+        process's owned rows (local_rows order). Returns (processed, original)
+        as [T_local, ...] arrays covering the SAME rows (fetch is local: only
+        addressable shards are materialized on this host).
+        """
+        if chunk_len % self.n_shards != 0:
+            # partial tail: unsharded run of the same clip fn (bit-compatible
+            # carry; every process holds the full remainder)
+            self.state, (outs, pre) = self._plain_chunk(
+                self.state, jnp.asarray(frames_u8_local), self._dyn)
+            self.cursor += chunk_len
+            return np.asarray(outs), np.asarray(pre)
+        if jax.process_count() == 1:
+            garr = jax.device_put(jnp.asarray(frames_u8_local),
+                                  self._frames_sharding)
+        else:
+            shape = (chunk_len,) + frames_u8_local.shape[1:]
+            garr = jax.make_array_from_process_local_data(
+                self._frames_sharding, frames_u8_local, shape)
+        self.state, (outs, pre) = self._sharded_chunk(self.state, garr,
+                                                      self._dyn)
+        self.cursor += chunk_len
+
+        def local(arr):
+            shards = sorted(arr.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+        return local(outs), local(pre)
+
+
+def export_video_distributed(
+    input_path: str,
+    output_path: str,
+    cfg: ProcessorConfig,
+    mesh: Optional[Mesh] = None,
+    chunk: int = 32,
+    file_fps: Optional[float] = None,
+    start: int = 0,
+    end: Optional[int] = None,
+    keep_parts: bool = False,
+) -> str:
+    """The config-5 program, single entry point (every process calls this with
+    the same arguments; the coordinator returns the final path).
+
+    Decode→shard→process→encode per chunk; part files named
+    `<out>.c<chunk>s<shard><ext>` so the coordinator's concat order —
+    (chunk, shard) — is the global frame order. Returns the final output path
+    on process 0 (other processes return their last part path)."""
+    from live_video_magnification_tpu.io.video import (
+        concat_videos,
+        iter_video,
+        video_info,
+        VideoWriterStream,
+    )
+
+    total, h, w, fps = video_info(input_path)
+    probe = next(iter_video(input_path, start, start + 1), None)
+    if probe is None:
+        raise IOError(f"no frames decoded from {input_path}")
+    channels = 1 if probe.ndim == 2 else probe.shape[2]
+    h, w = probe.shape[0], probe.shape[1]
+    end = end if end is not None else (total or None)
+    if end is None:
+        raise ValueError("distributed export needs a known frame count")
+
+    exp = DistributedClipExporter(cfg, h, w, channels, mesh=mesh)
+    n = exp.n_shards
+    chunk = max(n, (chunk // n) * n)
+    out_fps = file_fps or fps
+    base, ext = os.path.splitext(output_path)
+    rank = jax.process_index()
+
+    part_paths: List[Tuple[int, int, str]] = []  # (chunk_index, shard, path)
+    ci = 0
+    pos = start
+    while pos < end:
+        clen = min(chunk, end - pos)
+        if clen % n == 0:
+            rows = exp.local_rows(clen)
+        else:  # partial tail: every process decodes + processes the remainder
+            rows = [(0, 0, clen)]
+        frames = []
+        for _sh, a, b in rows:
+            frames.extend(
+                f if f.ndim == 3 else f[..., None]
+                for f in iter_video(input_path, pos + a, pos + b)
+            )
+        local = np.ascontiguousarray(
+            np.moveaxis(np.stack(frames), -1, 1))  # [T_local, C, H, W]
+        processed, _orig = exp.process_chunk(local, clen)
+        # encode this host's segments, one part per (chunk, shard)
+        off = 0
+        for sh, a, b in rows:
+            seg = processed[off : off + (b - a)]
+            off += b - a
+            if clen % n != 0 and rank != 0:
+                continue  # the replicated tail chunk is written once
+            ppath = f"{base}.c{ci:04d}s{sh:03d}{ext}"
+            wtr = VideoWriterStream(ppath, out_fps)
+            wtr.write_chunk(np.moveaxis(seg, 1, -1))
+            part_paths.append((ci, sh, wtr.close()))
+        pos += clen
+        ci += 1
+
+    if jax.process_count() > 1:
+        # all hosts must finish encoding before the coordinator concats; a
+        # cheap global barrier via a tiny collective
+        jax.block_until_ready(
+            jax.jit(lambda x: x + 1)(jnp.zeros((), jnp.int32)))
+    if rank != 0:
+        return part_paths[-1][2] if part_paths else output_path
+
+    # coordinator: collect every part in (chunk, shard) order. In a multi-host
+    # run the parts live on shared storage under the same naming scheme.
+    import glob
+    import re
+
+    pat = re.compile(re.escape(os.path.basename(base))
+                     + r"\.c(\d+)s(\d+)" + re.escape(ext) + r"$")
+    found = []
+    for p in glob.glob(f"{glob.escape(base)}.c*s*{ext}"):
+        m = pat.match(os.path.basename(p))
+        if m:
+            found.append((int(m.group(1)), int(m.group(2)), p))
+    found.sort()
+    final = concat_videos([p for _c, _s, p in found], output_path, out_fps)
+    if not keep_parts:
+        for _c, _s, p in found:
+            os.unlink(p)
+    return final

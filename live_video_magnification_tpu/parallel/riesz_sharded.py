@@ -39,7 +39,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from live_video_magnification_tpu.models.riesz import (
-    FilterLevelState,
+    RegPair,
     RieszDynParams,
     RieszState,
     init_state,
@@ -125,16 +125,22 @@ def halo_exchange_cols(
     injected array's trailing reflection axis sits on an odd (zero) column.
     """
     n = lax.axis_size(axis_name)
-    idx = lax.axis_index(axis_name)
-    fwd = [(i, i + 1) for i in range(n - 1)]   # my right edge -> next shard's left halo
-    bwd = [(i, i - 1) for i in range(1, n)]    # my left edge -> previous shard's right halo
-    from_left = lax.ppermute(x[..., -halo:], axis_name, fwd)
-    from_right = lax.ppermute(x[..., :halo], axis_name, bwd)
     reflect_l = jnp.flip(x[..., 1 : halo + 1], axis=-1)
     if right_mode == "symmetric":
         reflect_r = jnp.flip(x[..., -halo:], axis=-1)
     else:
         reflect_r = jnp.flip(x[..., -halo - 1 : -1], axis=-1)
+    if n == 1:
+        # Mesh of 1: no neighbors exist — skip the collectives and the traced
+        # edge selects entirely (axis_size is static, so this is a trace-time
+        # branch). This is the single-chip speed of the multi-chip code path
+        # (VERDICT round-3 item 1).
+        return jnp.concatenate([reflect_l, x, reflect_r], axis=-1)
+    idx = lax.axis_index(axis_name)
+    fwd = [(i, i + 1) for i in range(n - 1)]   # my right edge -> next shard's left halo
+    bwd = [(i, i - 1) for i in range(1, n)]    # my left edge -> previous shard's right halo
+    from_left = lax.ppermute(x[..., -halo:], axis_name, fwd)
+    from_right = lax.ppermute(x[..., :halo], axis_name, bwd)
     left = jnp.where(idx == 0, reflect_l, from_left)
     right = jnp.where(idx == n - 1, reflect_r, from_right)
     return jnp.concatenate([left, x, right], axis=-1)
@@ -151,11 +157,22 @@ class _Ops:
     — CPU equivalence tests of the exact kernel code).
     """
 
-    def __init__(self, mode: str, halo_impl: str = "ppermute"):
+    def __init__(self, mode: str, halo_impl: str = "ppermute",
+                 tail: str | None = None):
         assert mode in ("jnp", "pallas", "interpret")
         assert halo_impl in ("ppermute", "rdma")
         self.mode = mode
         self.halo_impl = halo_impl
+        if tail is None:
+            # Same LVMT_TAIL resolution as the streaming step (round-3 A/B:
+            # the jnp blur tail beat the VPU kernel 5.64 vs 7.26 ms at 4K —
+            # the sharded path previously kept the LOSING kernel, part of its
+            # 18% mesh-of-1 tax). Resolved at BUILD time, never in trace.
+            from live_video_magnification_tpu.ops.riesz import _tail_mode
+
+            tail = _tail_mode() if mode != "jnp" else "jnp"
+        assert tail in ("jnp", "pallas", "mxu")
+        self.tail = tail if mode != "jnp" else "jnp"
 
     def exchange(self, x, halo, axis_name, right_mode: str = "reflect"):
         """Column halo exchange: XLA collective-permute by default, or the
@@ -225,7 +242,23 @@ class _Ops:
         # VPU kernel: its own (small) minimum applies, not the MXU threshold.
         from live_video_magnification_tpu.ops.pallas.riesz_amplify import MIN_FUSED_DIM
 
-        return self.mode != "jnp" and min(h, w) >= MIN_FUSED_DIM
+        return (self.mode != "jnp" and self.tail == "pallas"
+                and min(h, w) >= MIN_FUSED_DIM)
+
+    def mxu_tail_ok(self, h: int, w: int) -> bool:
+        return self.tail == "mxu" and self._pallas_ok(h, w)
+
+    def mxu_tail(self, amplitude, change: CompExp, level: RieszLevel, alpha,
+                 threshold):
+        from live_video_magnification_tpu.ops.pallas.riesz_amplify_mxu import (
+            riesz_amplify_mxu,
+        )
+
+        return riesz_amplify_mxu(
+            amplitude, change.cos, change.sin,
+            level.lowpass, level.riesz.cos, level.riesz.sin,
+            alpha, threshold, interpret=self._interp,
+        )
 
     def fused_build_ok(self, h: int, w: int) -> bool:
         from live_video_magnification_tpu.ops.pallas.riesz_build import MIN_FUSED_DIM
@@ -311,28 +344,32 @@ def _sharded_inject(ops: _Ops, small_local, out_h, axis_name):
 def _sharded_tail(ops: _Ops, level_local: RieszLevel, amplitude, wc, ws,
                   alpha, threshold, axis_name):
     """normalize_phase + amplify_level on a W shard: the three 13x13 blurs need
-    a 6-col halo; everything else is element-wise. One stacked exchange.
+    a 6-col halo; everything else is element-wise. Tail kernel per ops.tail.
     wc/ws are the raw (hi-lo) cos/sin difference."""
     w_local = level_local.lowpass.shape[-1]
     h = level_local.lowpass.shape[-2]
-    if ops.fused_tail_ok(h, w_local + 2 * _BLUR_HALO):
+    if (ops.fused_tail_ok(h, w_local + 2 * _BLUR_HALO)
+            or ops.mxu_tail_ok(h, w_local + 2 * _BLUR_HALO)):
         stack = jnp.stack([
             amplitude, wc, ws,
             level_local.lowpass, level_local.riesz.cos, level_local.riesz.sin,
         ])
         sh = ops.exchange(stack, _BLUR_HALO, axis_name)
-        out = ops.fused_tail(
+        kern = (ops.mxu_tail if ops.mxu_tail_ok(h, w_local + 2 * _BLUR_HALO)
+                else ops.fused_tail)
+        out = kern(
             sh[0], CompExp(sh[1], sh[2]), RieszLevel(sh[3], CompExp(sh[4], sh[5])),
             alpha, threshold,
         )
         return out[:, _BLUR_HALO : _BLUR_HALO + w_local]
-    # jnp fallback: haloed separable blurs, local element-wise tail.
-    stack = jnp.stack([amplitude, wc * amplitude, ws * amplitude])
-    sh = ops.exchange(stack, _BLUR_HALO, axis_name)
-    blurred = amplitude_blur(sh)
+    # jnp tail (default): per-plane exchanges — no stack materialization, so
+    # XLA fuses each blur's producers (the round-3 stacked-blur negative
+    # result applies here too); the 3 extra small ppermutes are 6-col messages.
     sl = lambda x: x[:, _BLUR_HALO : _BLUR_HALO + w_local]
-    amp_blur = sl(blurred[0])
-    normalized = CompExp(sl(blurred[1]) / amp_blur, sl(blurred[2]) / amp_blur)
+    amp_blur = sl(amplitude_blur(ops.exchange(amplitude, _BLUR_HALO, axis_name)))
+    nc = sl(amplitude_blur(ops.exchange(wc * amplitude, _BLUR_HALO, axis_name)))
+    ns = sl(amplitude_blur(ops.exchange(ws * amplitude, _BLUR_HALO, axis_name)))
+    normalized = CompExp(nc / amp_blur, ns / amp_blur)
     return amplify_level(level_local, normalized, alpha, threshold)
 
 
@@ -394,11 +431,12 @@ def _riesz_step_local(
         for c, o in zip(cur, state.old)
     )
 
-    def masked(fl: FilterLevelState) -> FilterLevelState:
+    def masked(fl):
         return jax.tree.map(lambda x: jnp.where(zero_filters, 0.0, x), fl)
 
-    new_lo: List[FilterLevelState] = []
-    new_hi: List[FilterLevelState] = []
+    new_acc: List[CompExp] = []
+    new_lo: List[RegPair] = []
+    new_hi: List[RegPair] = []
     lowpasses: List[jnp.ndarray] = []
     # The element-wise phase front (rebuild/zeroing + quaternion phase diff +
     # both DF-II filters) stays in jnp everywhere: XLA fuses it into the
@@ -409,17 +447,20 @@ def _riesz_step_local(
     # 15 HBM output planes re-materialize what the compiler fuses away.
     for lvl in range(levels - 1):
         h_l, w_l = cur[lvl].lowpass.shape
+        acc_st = masked(state.acc[lvl])
         lo_st = masked(state.lo[lvl])
         hi_st = masked(state.hi[lvl])
         pr = phase_difference_and_amplitude(cur[lvl], old[lvl], compute_blur=False)
-        lo_res, lo_phase, lo_r0, lo_r1 = riesz_df2_step(
-            lo_st.phase, lo_st.reg0, lo_st.reg1, pr.phase_diff, dyn.b_lo, dyn.a_lo
+        # shared accumulator (RieszState.acc): XLA CSEs the duplicate acc+diff
+        lo_res, phase, lo_r0, lo_r1 = riesz_df2_step(
+            acc_st, lo_st.reg0, lo_st.reg1, pr.phase_diff, dyn.b_lo, dyn.a_lo
         )
-        hi_res, hi_phase, hi_r0, hi_r1 = riesz_df2_step(
-            hi_st.phase, hi_st.reg0, hi_st.reg1, pr.phase_diff, dyn.b_hi, dyn.a_hi
+        hi_res, _, hi_r0, hi_r1 = riesz_df2_step(
+            acc_st, hi_st.reg0, hi_st.reg1, pr.phase_diff, dyn.b_hi, dyn.a_hi
         )
-        new_lo.append(FilterLevelState(lo_phase, lo_r0, lo_r1))
-        new_hi.append(FilterLevelState(hi_phase, hi_r0, hi_r1))
+        new_acc.append(phase)
+        new_lo.append(RegPair(lo_r0, lo_r1))
+        new_hi.append(RegPair(hi_r0, hi_r1))
         change = hi_res - lo_res
         if plan.sharded[lvl]:
             lowpasses.append(
@@ -428,19 +469,24 @@ def _riesz_step_local(
                               axis_name)
             )
         else:
-            if ops.fused_tail_ok(h_l, w_l):
+            if ops.mxu_tail_ok(h_l, w_l):
+                lowpasses.append(
+                    ops.mxu_tail(pr.amplitude, change, cur[lvl],
+                                 dyn.amplification, dyn.threshold)
+                )
+            elif ops.fused_tail_ok(h_l, w_l):
                 lowpasses.append(
                     ops.fused_tail(pr.amplitude, change, cur[lvl],
                                    dyn.amplification, dyn.threshold)
                 )
             else:
-                blurred = amplitude_blur(
-                    jnp.stack([pr.amplitude, change.cos * pr.amplitude,
-                               change.sin * pr.amplitude])
-                )
-                normalized = CompExp(blurred[1] / blurred[0], blurred[2] / blurred[0])
+                # per-plane blurs (no stack): XLA fuses each blur's producers
+                amp_blur = amplitude_blur(pr.amplitude)
+                nc = amplitude_blur(change.cos * pr.amplitude) / amp_blur
+                ns = amplitude_blur(change.sin * pr.amplitude) / amp_blur
                 lowpasses.append(
-                    amplify_level(cur[lvl], normalized, dyn.amplification, dyn.threshold)
+                    amplify_level(cur[lvl], CompExp(nc, ns),
+                                  dyn.amplification, dyn.threshold)
                 )
     lowpasses.append(cur[levels - 1].lowpass)  # untouched residual octave
 
@@ -471,7 +517,8 @@ def _riesz_step_local(
     out_u8 = jnp.where(passthrough, frame_u8, out_u8)
 
     new_old = tuple(RieszLevel(c.lowpass, c.riesz) for c in cur)
-    new_state = RieszState(state.count + 1, new_old, tuple(new_lo), tuple(new_hi))
+    new_state = RieszState(state.count + 1, new_old, tuple(new_acc),
+                           tuple(new_lo), tuple(new_hi))
     return new_state, out_u8
 
 
@@ -484,12 +531,11 @@ def state_specs(plan: RieszShardPlan, batch_axis: str | None = "batch") -> Riesz
     levels = plan.levels
     lv = lambda l: P(batch_axis, None, "tile" if plan.sharded[l] else None)
     old = tuple(RieszLevel(lv(l), CompExp(lv(l), lv(l))) for l in range(levels))
-    fl = lambda l: FilterLevelState(
-        CompExp(lv(l), lv(l)), CompExp(lv(l), lv(l)), CompExp(lv(l), lv(l))
-    )
-    lo = tuple(fl(l) for l in range(levels - 1))
-    hi = tuple(fl(l) for l in range(levels - 1))
-    return RieszState(P(batch_axis), old, lo, hi)
+    acc = tuple(CompExp(lv(l), lv(l)) for l in range(levels - 1))
+    rp = lambda l: RegPair(CompExp(lv(l), lv(l)), CompExp(lv(l), lv(l)))
+    lo = tuple(rp(l) for l in range(levels - 1))
+    hi = tuple(rp(l) for l in range(levels - 1))
+    return RieszState(P(batch_axis), old, acc, lo, hi)
 
 
 def default_kernel_mode() -> str:
@@ -505,6 +551,7 @@ def build_sharded_riesz_step(
     kernels: str | None = None,
     halo_impl: str = "ppermute",
     repeat_steps: int = 0,
+    tail: str | None = None,
 ):
     """(jitted_step, sharded_init_state) for the explicit Pallas+halo phase step.
 
@@ -526,7 +573,7 @@ def build_sharded_riesz_step(
         raise ValueError(
             f"W={w} cannot be lane-sharded {n}-way at level 0; use the GSPMD path"
         )
-    ops = _Ops(kernels or default_kernel_mode(), halo_impl=halo_impl)
+    ops = _Ops(kernels or default_kernel_mode(), halo_impl=halo_impl, tail=tail)
 
     frame_spec = P(batch_axis, None, None, "tile")
     st_specs = state_specs(plan, batch_axis)

@@ -110,6 +110,64 @@ def test_riesz_amplify_fused_matches_ops(h, w):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
 
 
+def test_hybrid_bf16_level_resolution(monkeypatch):
+    """LVMT_MXU_DTYPE=hybrid keeps the finest level f32; hybrid-band keeps the
+    Riesz band pair f32 everywhere (VERDICT round-3 item 4)."""
+    from live_video_magnification_tpu.ops.riesz import _hybrid_bf16
+
+    monkeypatch.setenv("LVMT_MXU_DTYPE", "hybrid")
+    assert _hybrid_bf16(0) == (False, False)
+    assert _hybrid_bf16(1) == (True, True)
+    assert _hybrid_bf16(4) == (True, True)
+    monkeypatch.setenv("LVMT_MXU_DTYPE", "hybrid-band")
+    assert _hybrid_bf16(0) == (True, False)
+    assert _hybrid_bf16(3) == (True, False)
+    monkeypatch.setenv("LVMT_MXU_DTYPE", "bf16")
+    assert _hybrid_bf16(0) == (None, None)  # env-driven inside the kernels
+    monkeypatch.delenv("LVMT_MXU_DTYPE")
+    assert _hybrid_bf16(0) == (None, None)
+
+
+@pytest.mark.parametrize("h,w", [(64, 128), (50, 70), (130, 250)])
+@pytest.mark.parametrize("preweighted", [False, True])
+def test_riesz_amplify_mxu_matches_ops(h, w, preweighted):
+    """The MXU-banded blur tail (riesz_amplify_mxu) == normalize_phase +
+    amplify_level, both pre-weighted layouts (round-4 tail candidate)."""
+    from live_video_magnification_tpu.ops.pallas.riesz_amplify_mxu import (
+        riesz_amplify_mxu,
+    )
+    from live_video_magnification_tpu.ops.riesz import (
+        RieszLevel,
+        amplify_level,
+        amplitude_blur,
+        normalize_phase,
+    )
+    from live_video_magnification_tpu.ops.temporal import CompExp
+
+    r = lambda: jnp.asarray(RNG.random((h, w)).astype(np.float32) - 0.3)
+    amplitude = jnp.abs(r()) + 0.05
+    hi = CompExp(r(), r())
+    lo = CompExp(r(), r())
+    level = RieszLevel(r() * 50.0, CompExp(r(), r()))
+    alpha, threshold = 30.0, 1.2
+
+    normalized = normalize_phase(hi, lo, amplitude, amplitude_blur(amplitude))
+    ref = amplify_level(level, normalized, alpha, threshold)
+
+    change = hi - lo
+    if preweighted:
+        cc, cs = change.cos * amplitude, change.sin * amplitude
+    else:
+        cc, cs = change.cos, change.sin
+    got = riesz_amplify_mxu(
+        amplitude, cc, cs,
+        level.lowpass, level.riesz.cos, level.riesz.sin,
+        alpha, threshold, interpret=True, preweighted=preweighted,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4,
+                               rtol=1e-4)
+
+
 @pytest.mark.parametrize("h,w", [(128, 128), (130, 250), (96, 200), (135, 240)])
 def test_band5_mxu_matches_correlate_rows_cols(h, w):
     from live_video_magnification_tpu.ops.pallas.conv9_mxu import band5_mxu
@@ -139,10 +197,16 @@ def test_riesz_phase_df2_fused_matches_jnp():
     import jax
     import jax.numpy as jnp
 
-    from live_video_magnification_tpu.models.riesz import FilterLevelState
+    from collections import namedtuple
+
     from live_video_magnification_tpu.ops.pallas.riesz_phase_fused import (
         riesz_phase_df2_fused,
     )
+
+    # local stand-in for the kernel's per-filter (phase, reg0, reg1) layout;
+    # the model state now shares one accumulator (RieszState.acc), but the
+    # kernel interface remains two independent 6-tuples
+    FilterLevelState = namedtuple("FilterLevelState", "phase reg0 reg1")
     from live_video_magnification_tpu.ops.riesz import (
         RieszLevel,
         phase_difference_and_amplitude,

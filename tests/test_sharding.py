@@ -150,9 +150,12 @@ def test_explicit_riesz_shard_map_equals_single_device(mesh_shape, levels):
         assert_u8_close(np.asarray(out), np.stack(outs_ref))
 
 
-def test_explicit_riesz_pallas_interpret_equals_single_device():
+@pytest.mark.parametrize("tail", ["jnp", "pallas", "mxu"])
+def test_explicit_riesz_pallas_interpret_equals_single_device(tail):
     """Same path with the actual Pallas MXU kernels (interpret mode) inside
-    shard_map — VERDICT round-1 item 2's done-criterion."""
+    shard_map — VERDICT round-1 item 2's done-criterion. All three tail
+    kernels (jnp blur default / VPU riesz_amplify_fused / MXU-banded
+    riesz_amplify_mxu) must agree with the unsharded step."""
     from live_video_magnification_tpu.parallel.riesz_sharded import (
         build_sharded_riesz_step,
         make_plan,
@@ -164,7 +167,7 @@ def test_explicit_riesz_pallas_interpret_equals_single_device():
     frames = _frames(batch, t, h, w)
     dyn = _riesz_dyn(levels)
     step, state = build_sharded_riesz_step(mesh, batch, h, w, levels,
-                                           kernels="interpret")
+                                           kernels="interpret", tail=tail)
 
     ref_state = riesz_mode.init_state(h, w, levels)
     for ti in range(t):

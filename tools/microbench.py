@@ -163,9 +163,9 @@ def main() -> int:
         s = 1.0 + 1e-6 * t.astype(jnp.float32)
         cur = jax.tree.map(lambda x: x * s, cur0, is_leaf=lambda x: x is None)
         old = jax.tree.map(lambda x: x * s, old0, is_leaf=lambda x: x is None)
-        lo, hi = state.lo, state.hi
+        acc, lo, hi = state.acc, state.lo, state.hi
         total = jnp.float32(0.0)
-        new_lo, new_hi = [], []
+        new_acc, new_lo, new_hi = [], [], []
         from live_video_magnification_tpu.ops.pallas.riesz_amplify import (
             riesz_amplify_fused,
         )
@@ -176,14 +176,15 @@ def main() -> int:
             pr = rops.phase_difference_and_amplitude(
                 cur[lvl], old[lvl], compute_blur=not fused_tail
             )
-            lo_res, lo_p, lo_r0, lo_r1 = riesz_df2_step(
-                lo[lvl].phase, lo[lvl].reg0, lo[lvl].reg1,
+            lo_res, phase, lo_r0, lo_r1 = riesz_df2_step(
+                acc[lvl], lo[lvl].reg0, lo[lvl].reg1,
                 pr.phase_diff, dyn.b_lo, dyn.a_lo)
-            hi_res, hi_p, hi_r0, hi_r1 = riesz_df2_step(
-                hi[lvl].phase, hi[lvl].reg0, hi[lvl].reg1,
+            hi_res, _, hi_r0, hi_r1 = riesz_df2_step(
+                acc[lvl], hi[lvl].reg0, hi[lvl].reg1,
                 pr.phase_diff, dyn.b_hi, dyn.a_hi)
-            new_lo.append(m.FilterLevelState(lo_p, lo_r0, lo_r1))
-            new_hi.append(m.FilterLevelState(hi_p, hi_r0, hi_r1))
+            new_acc.append(phase)
+            new_lo.append(m.RegPair(lo_r0, lo_r1))
+            new_hi.append(m.RegPair(hi_r0, hi_r1))
             if fused_tail:
                 change = hi_res - lo_res
                 out = riesz_amplify_fused(
@@ -196,7 +197,7 @@ def main() -> int:
                 out = rops.amplify_level(cur[lvl], norm, dyn.amplification,
                                          dyn.threshold)
             total = total + chk(out)
-        state = m.RieszState(state.count + 1, state.old,
+        state = m.RieszState(state.count + 1, state.old, tuple(new_acc),
                              tuple(new_lo), tuple(new_hi))
         return state, total
 
@@ -214,23 +215,24 @@ def main() -> int:
     def step_tail_df2(state, t):
         """Phase front + DF-II state update, NO amplify/blur kernel."""
         s = 1.0 + 1e-6 * t.astype(jnp.float32)
-        lo, hi = state.lo, state.hi
+        acc, lo, hi = state.acc, state.lo, state.hi
         total = jnp.float32(0.0)
-        new_lo, new_hi = [], []
+        new_acc, new_lo, new_hi = [], [], []
         for lvl in range(levels - 1):
             cur = jax.tree.map(lambda x: x * s, cur0[lvl])
             old = jax.tree.map(lambda x: x * s, old0[lvl])
             pr = rops.phase_difference_and_amplitude(cur, old, compute_blur=False)
-            lo_res, lo_p, lo_r0, lo_r1 = riesz_df2_step(
-                lo[lvl].phase, lo[lvl].reg0, lo[lvl].reg1,
+            lo_res, phase, lo_r0, lo_r1 = riesz_df2_step(
+                acc[lvl], lo[lvl].reg0, lo[lvl].reg1,
                 pr.phase_diff, dyn.b_lo, dyn.a_lo)
-            hi_res, hi_p, hi_r0, hi_r1 = riesz_df2_step(
-                hi[lvl].phase, hi[lvl].reg0, hi[lvl].reg1,
+            hi_res, _, hi_r0, hi_r1 = riesz_df2_step(
+                acc[lvl], hi[lvl].reg0, hi[lvl].reg1,
                 pr.phase_diff, dyn.b_hi, dyn.a_hi)
-            new_lo.append(m.FilterLevelState(lo_p, lo_r0, lo_r1))
-            new_hi.append(m.FilterLevelState(hi_p, hi_r0, hi_r1))
+            new_acc.append(phase)
+            new_lo.append(m.RegPair(lo_r0, lo_r1))
+            new_hi.append(m.RegPair(hi_r0, hi_r1))
             total = total + chk(hi_res.cos - lo_res.cos) + chk(pr.amplitude)
-        state = m.RieszState(state.count + 1, state.old,
+        state = m.RieszState(state.count + 1, state.old, tuple(new_acc),
                              tuple(new_lo), tuple(new_hi))
         return state, total
 
@@ -259,26 +261,27 @@ def main() -> int:
         s = 1.0 + 1e-6 * t.astype(jnp.float32)
         cur = jax.tree.map(lambda x: x * s, cur0, is_leaf=lambda x: x is None)
         old = jax.tree.map(lambda x: x * s, old0, is_leaf=lambda x: x is None)
-        lo, hi = state.lo, state.hi
+        acc, lo, hi = state.acc, state.lo, state.hi
         total = jnp.float32(0.0)
-        new_lo, new_hi = [], []
+        new_acc, new_lo, new_hi = [], [], []
         for lvl in range(levels - 1):
             pr = rops.phase_difference_and_amplitude(cur[lvl], old[lvl],
                                                      compute_blur=True)
-            lo_res, lo_p, lo_r0, lo_r1 = riesz_df2_step(
-                lo[lvl].phase, lo[lvl].reg0, lo[lvl].reg1,
+            lo_res, phase, lo_r0, lo_r1 = riesz_df2_step(
+                acc[lvl], lo[lvl].reg0, lo[lvl].reg1,
                 pr.phase_diff, dyn.b_lo, dyn.a_lo)
-            hi_res, hi_p, hi_r0, hi_r1 = riesz_df2_step(
-                hi[lvl].phase, hi[lvl].reg0, hi[lvl].reg1,
+            hi_res, _, hi_r0, hi_r1 = riesz_df2_step(
+                acc[lvl], hi[lvl].reg0, hi[lvl].reg1,
                 pr.phase_diff, dyn.b_hi, dyn.a_hi)
-            new_lo.append(m.FilterLevelState(lo_p, lo_r0, lo_r1))
-            new_hi.append(m.FilterLevelState(hi_p, hi_r0, hi_r1))
+            new_acc.append(phase)
+            new_lo.append(m.RegPair(lo_r0, lo_r1))
+            new_hi.append(m.RegPair(hi_r0, hi_r1))
             norm = rops.normalize_phase(
                 hi_res, lo_res, pr.amplitude, pr.amplitude_blurred)
             out = rops.amplify_level(cur[lvl], norm, dyn.amplification,
                                      dyn.threshold)
             total = total + chk(out)
-        state = m.RieszState(state.count + 1, state.old,
+        state = m.RieszState(state.count + 1, state.old, tuple(new_acc),
                              tuple(new_lo), tuple(new_hi))
         return state, total
 

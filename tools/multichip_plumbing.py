@@ -61,7 +61,7 @@ def main() -> int:
 
     results = {
         "artifact": "multichip-plumbing",
-        "round": 3,
+        "round": 4,
         "devices": n,
         "backend": jax.devices()[0].platform,
         "geometry": {"h": h, "w": w, "levels": levels, "mode": "phase"},
@@ -97,7 +97,58 @@ def main() -> int:
         lambda mesh: (frames, dyn),
     )
 
-    out = sys.argv[1] if len(sys.argv) > 1 else "MULTICHIP_PLUMBING_r03.json"
+    # config-5 program (round 4): the whole distributed batch-export pipeline
+    # — per-shard decode, ONE T-sharded SPMD clip call per chunk, per-shard
+    # encode, ordered concat — run file->file on the virtual mesh. Records
+    # that the PROGRAM executes and its throughput under emulation; the
+    # bit-identity with the sequential export is asserted in
+    # tests/test_distributed.py.
+    import os
+    import tempfile
+
+    import cv2
+
+    from live_video_magnification_tpu.models.params import (
+        MagnificationParams,
+        PreprocessParams,
+        ProcessorConfig,
+    )
+    from live_video_magnification_tpu.parallel.batch_export import (
+        export_video_distributed,
+    )
+
+    tmp = tempfile.mkdtemp()
+    clip = os.path.join(tmp, "in.avi")
+    wtr = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"MJPG"), 30.0, (w, h))
+    base = rng.random((h, w, 3)).astype(np.float32)
+    for i in range(24):
+        wtr.write(np.clip(np.roll(base, i, axis=1) * 255, 0, 255).astype(np.uint8))
+    wtr.release()
+    cfg5 = ProcessorConfig(
+        preprocess=PreprocessParams(), grayscale=False,
+        magnification=MagnificationParams(
+            mode=MagnificationMode.PHASE, amplification=30.0,
+            co_wavelength=40.0, co_low=0.5, co_high=3.0, levels=levels,
+            framerate=30.0,
+        ),
+    )
+    t0 = time.monotonic()
+    final = export_video_distributed(clip, os.path.join(tmp, "out.avi"), cfg5,
+                                     chunk=8)
+    wall = time.monotonic() - t0
+    cap = cv2.VideoCapture(final)
+    n_out = 0
+    while cap.read()[0]:
+        n_out += 1
+    cap.release()
+    results["measurements"]["config5_distributed_export_program"] = {
+        "frames": 24, "frames_out": n_out, "chunk": 8,
+        "wall_s": round(wall, 1), "fps": round(24 / wall, 2),
+        "end_to_end": "decode->T-sharded SPMD->per-shard encode->concat",
+    }
+    print(f"config5 program: {n_out} frames in {wall:.1f}s")
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "MULTICHIP_PLUMBING_r04.json"
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out}")
