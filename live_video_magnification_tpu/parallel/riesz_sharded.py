@@ -158,11 +158,22 @@ class _Ops:
     """
 
     def __init__(self, mode: str, halo_impl: str = "ppermute",
-                 tail: str | None = None):
+                 tail: str | None = None, band_parallel: bool = False):
         assert mode in ("jnp", "pallas", "interpret")
         assert halo_impl in ("ppermute", "rdma")
         self.mode = mode
         self.halo_impl = halo_impl
+        # Pyramid-band (level) parallelism for the REPLICATED small levels
+        # (SURVEY §2.9 "per-band sharding of pyramid levels"): instead of every
+        # device redundantly running the per-level temporal tail, each
+        # replicated level is OWNED by one device (round-robin); the owner
+        # computes phase-diff→DF-II→normalize→amplify inside a lax.cond (real
+        # runtime skip under shard_map, not a select) and a psum replicates
+        # the results for the (inherently sequential) collapse. Build and
+        # collapse stay replicated — each level's input is the previous
+        # level's output, so there is no band parallelism to extract there.
+        # See docs/MULTICHIP.md for the measured/analytic comparison.
+        self.band_parallel = band_parallel
         if tail is None:
             # Same LVMT_TAIL resolution as the streaming step (round-3 A/B:
             # the jnp blur tail beat the VPU kernel 5.64 vs 7.26 ms at 4K —
@@ -447,6 +458,47 @@ def _riesz_step_local(
     # 15 HBM output planes re-materialize what the compiler fuses away.
     for lvl in range(levels - 1):
         h_l, w_l = cur[lvl].lowpass.shape
+        if (not plan.sharded[lvl] and ops.band_parallel and n > 1):
+            # band parallelism: this replicated level's whole temporal tail
+            # runs ONLY on its owner device (lax.cond is real per-device
+            # control flow under shard_map); psum replicates the results.
+            owner = lvl % n
+
+            def _band_compute(lvl=lvl):
+                acc_b = masked(state.acc[lvl])
+                lo_b = masked(state.lo[lvl])
+                hi_b = masked(state.hi[lvl])
+                pr_b = phase_difference_and_amplitude(
+                    cur[lvl], old[lvl], compute_blur=False)
+                lo_res, phase, lo_r0, lo_r1 = riesz_df2_step(
+                    acc_b, lo_b.reg0, lo_b.reg1, pr_b.phase_diff,
+                    dyn.b_lo, dyn.a_lo)
+                hi_res, _, hi_r0, hi_r1 = riesz_df2_step(
+                    acc_b, hi_b.reg0, hi_b.reg1, pr_b.phase_diff,
+                    dyn.b_hi, dyn.a_hi)
+                ch = hi_res - lo_res
+                ab = amplitude_blur(pr_b.amplitude)
+                nc = amplitude_blur(ch.cos * pr_b.amplitude) / ab
+                ns = amplitude_blur(ch.sin * pr_b.amplitude) / ab
+                out = amplify_level(cur[lvl], CompExp(nc, ns),
+                                    dyn.amplification, dyn.threshold)
+                return (out, phase, RegPair(lo_r0, lo_r1),
+                        RegPair(hi_r0, hi_r1))
+
+            def _band_zeros(lvl=lvl):
+                z = lambda x: jnp.zeros_like(x)
+                return (z(cur[lvl].lowpass), jax.tree.map(z, state.acc[lvl]),
+                        jax.tree.map(z, state.lo[lvl]),
+                        jax.tree.map(z, state.hi[lvl]))
+
+            mine = lax.axis_index(axis_name) == owner
+            out, phase, lo_rp, hi_rp = lax.psum(
+                lax.cond(mine, _band_compute, _band_zeros), axis_name)
+            new_acc.append(phase)
+            new_lo.append(lo_rp)
+            new_hi.append(hi_rp)
+            lowpasses.append(out)
+            continue
         acc_st = masked(state.acc[lvl])
         lo_st = masked(state.lo[lvl])
         hi_st = masked(state.hi[lvl])
@@ -552,6 +604,7 @@ def build_sharded_riesz_step(
     halo_impl: str = "ppermute",
     repeat_steps: int = 0,
     tail: str | None = None,
+    band_parallel: bool = False,
 ):
     """(jitted_step, sharded_init_state) for the explicit Pallas+halo phase step.
 
@@ -573,7 +626,8 @@ def build_sharded_riesz_step(
         raise ValueError(
             f"W={w} cannot be lane-sharded {n}-way at level 0; use the GSPMD path"
         )
-    ops = _Ops(kernels or default_kernel_mode(), halo_impl=halo_impl, tail=tail)
+    ops = _Ops(kernels or default_kernel_mode(), halo_impl=halo_impl, tail=tail,
+               band_parallel=band_parallel)
 
     frame_spec = P(batch_axis, None, None, "tile")
     st_specs = state_specs(plan, batch_axis)

@@ -248,6 +248,33 @@ def test_explicit_riesz_rdma_halo_equals_single_device():
         assert_u8_close(np.asarray(out[0]), np.asarray(o))
 
 
+def test_explicit_riesz_band_parallel_equals_single_device():
+    """Pyramid-band (level) parallelism (SURVEY §2.9, VERDICT round-3 item 5):
+    replicated small levels owned round-robin per device (lax.cond skip +
+    psum replicate) == per-stream stepping. W=192 forces replication from
+    level 1 on the 8-way mesh, so the banded path actually executes."""
+    from live_video_magnification_tpu.parallel.riesz_sharded import (
+        build_sharded_riesz_step,
+        make_plan,
+    )
+
+    batch, t, h, w, levels = 1, 3, 64, 192, 3
+    plan = make_plan(h, w, levels, 8)
+    assert plan.sharded[0] and not plan.sharded[1], "need a replicated level"
+    mesh = make_mesh((1, 8), ("batch", "tile"))
+    frames = _frames(batch, t, h, w)
+    dyn = _riesz_dyn(levels)
+    step, state = build_sharded_riesz_step(mesh, batch, h, w, levels,
+                                           kernels="jnp", band_parallel=True)
+    ref_state = riesz_mode.init_state(h, w, levels)
+    for ti in range(t):
+        ref_state, o = riesz_mode.step(
+            ref_state, jnp.asarray(frames[0, ti]), dyn, levels=levels
+        )
+        state, out = step(state, jnp.asarray(frames[:, ti]), dyn)
+        assert_u8_close(np.asarray(out[0]), np.asarray(o))
+
+
 def test_explicit_riesz_mesh_of_one_keeps_pallas_path():
     """Mesh of 1: the explicit path degenerates to the plain Pallas kernels
     (no collectives), bit-matching the single-device step — the single-chip
