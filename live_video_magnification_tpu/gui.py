@@ -295,6 +295,105 @@ def build_export_config(live_cfg: ProcessorConfig, ui: MagUiValues, *,
                            magnification=mag)
 
 
+# --- pure orchestration (headless-testable state machines, VERDICT r3 item 6) --
+#
+# The tk callbacks below delegate to these functions; every branch of the
+# export/record/close flows and the status/display math is decided here on
+# plain values, so tests/test_gui_logic.py can drive the state machines
+# end-to-end without a display (reference MainWindow.cpp:503-661 semantics).
+
+
+def export_start_guard(export_active: bool, has_file: bool) -> str:
+    """'busy' | 'no_file' | 'proceed' (MainWindow.cpp:503-519)."""
+    if export_active:
+        return "busy"
+    if not has_file:
+        return "no_file"
+    return "proceed"
+
+
+def export_poll_transition(phase, frames_done: int, frames_total,
+                           error) -> tuple:
+    """One tick of the export progress poll (MainWindow.cpp:595-661).
+
+    Returns (action, text): action 'continue' keeps polling with a progress
+    update; 'finish' closes out the exporter (join, drop, resume-if-paused)
+    with `text` shown in the finished dialog."""
+    if phase is ExportPhase.PROCESSING:
+        return "continue", None
+    text = {ExportPhase.DONE: f"Done — {frames_done} frames written",
+            ExportPhase.ABORTED: "Aborted — partial file deleted",
+            ExportPhase.FAILED: f"Failed: {error}"}.get(phase, str(phase))
+    return "finish", text
+
+
+def record_start_guard(recording: bool, export_active: bool) -> str:
+    """'stop' (toggle off) | 'busy' | 'begin' (MainWindow.cpp:568-585)."""
+    if recording:
+        return "stop"
+    if export_active:
+        return "busy"
+    return "begin"
+
+
+def record_poll_transition(limit_reached: bool) -> str:
+    """'autostop' at the RAM cap (MainWindow.cpp:49-51), else 'continue'."""
+    return "autostop" if limit_reached else "continue"
+
+
+def record_stop_decision(frame_count: int) -> str:
+    """'nothing' recorded vs 'open_settings' for the buffer export."""
+    return "open_settings" if frame_count else "nothing"
+
+
+def close_decision(export_active: bool, recording: bool,
+                   confirmed: bool) -> str:
+    """Close-protection (MainWindow.cpp:332-342): 'close' when idle;
+    'ask' when busy and not yet confirmed; 'abort_and_close' when the user
+    confirmed aborting the running export/recording."""
+    if not (export_active or recording):
+        return "close"
+    return "abort_and_close" if confirmed else "ask"
+
+
+def view_magnify_active(mode: ViewMode) -> bool:
+    """'Original' doubles as magnification-off (MainWindow.cpp:199-204)."""
+    return mode is not ViewMode.ORIGINAL
+
+
+def stats_line(process_fps: float, latency_ms_mean: float,
+               latency_ms_p95: float, queue_depth: int, proc_errors: int,
+               drop_fraction: float, is_camera: bool, target_fps: float):
+    """(text, health) for the status strip (StatusStrip.cpp:122-158,
+    StatusHealth.hpp thresholds; hint text on non-ok)."""
+    if is_camera:
+        health = camera_health(drop_fraction)
+        text = (f"{process_fps:5.1f} fps   drops {drop_fraction*100:4.1f}%   "
+                f"latency {latency_ms_mean:5.1f} ms (p95 {latency_ms_p95:.0f})")
+    else:
+        health = file_health(process_fps, target_fps)
+        text = (f"{process_fps:5.1f} / {target_fps:.0f} fps   q={queue_depth}   "
+                f"latency {latency_ms_mean:5.1f} ms (p95 {latency_ms_p95:.0f})   "
+                f"errors {proc_errors}")
+    if health != "ok":
+        text += "   — falling behind: shrink the ROI or increase downscale"
+    return text, health
+
+
+def display_fit(cw: int, ch: int, fh: int, fw: int):
+    """Letterbox a fh x fw frame into a cw x ch canvas: returns
+    (dw, dh, x0, y0) — the reference DisplayWidget's per-pane letterbox math
+    (DisplayWidget.cpp:187-211). Pure."""
+    cw, ch = max(1, cw), max(1, ch)
+    scale = min(cw / fw, ch / fh)
+    dw, dh = max(1, int(fw * scale)), max(1, int(fh * scale))
+    return dw, dh, (cw - dw) // 2, (ch - dh) // 2
+
+
+def timeline_fraction(current_frame: int, frame_count: int) -> float:
+    return current_frame / max(1, frame_count - 1)
+
+
 def _frame_to_photo(tk, img: np.ndarray):
     """BGR/gray u8 -> tk.PhotoImage via PPM bytes (no extra deps)."""
     if img.ndim == 2:
@@ -960,12 +1059,13 @@ class MainWindow:
                                                    ExportPhase.RECORDING)
 
     def on_export(self):
-        if self._export_active():
-            self.messagebox.showinfo("Export", "An export is already running")
-            return
-        if self._file_path is None:
-            self.messagebox.showinfo(
-                "Export", "Open a video file first (camera sources use Record)")
+        guard = export_start_guard(self._export_active(),
+                                   self._file_path is not None)
+        if guard != "proceed":
+            self.messagebox.showinfo("Export", {
+                "busy": "An export is already running",
+                "no_file": "Open a video file first (camera sources use Record)",
+            }[guard])
             return
         dlg = ExportSettingsDialog(
             self.root, self.controller.config_snapshot(raw_mode=True),
@@ -999,16 +1099,14 @@ class MainWindow:
         if self._exporter is None:
             return
         p = self._exporter.progress()
+        action, text = export_poll_transition(p.phase, p.frames_done,
+                                              p.frames_total, p.error)
         dlg = self._export_dialog
-        if p.phase is ExportPhase.PROCESSING:
+        if action == "continue":
             if dlg is not None and dlg.top.winfo_exists():
                 dlg.show_processing(p.frames_done, p.frames_total)
             self.root.after(ExportProgressDialog.POLL_MS, self._poll_export)
             return
-        # terminal state
-        text = {ExportPhase.DONE: f"Done — {p.frames_done} frames written",
-                ExportPhase.ABORTED: "Aborted — partial file deleted",
-                ExportPhase.FAILED: f"Failed: {p.error}"}.get(p.phase, str(p.phase))
         if dlg is not None and dlg.top.winfo_exists():
             dlg.mark_finished(text)
         self._exporter.join(timeout=5.0)
@@ -1020,10 +1118,12 @@ class MainWindow:
     # --- record (camera) ---------------------------------------------------------------------
 
     def on_record(self):
-        if self._recording_buf is not None:
+        guard = record_start_guard(self._recording_buf is not None,
+                                   self._export_active())
+        if guard == "stop":
             self._stop_record_and_export()
             return
-        if self._export_active():
+        if guard == "busy":
             self.messagebox.showinfo("Record", "An export is already running")
             return
         buf = self.controller.start_recording()
@@ -1043,8 +1143,8 @@ class MainWindow:
         dlg = self._export_dialog
         if dlg is not None and dlg.top.winfo_exists():
             dlg.show_recording(buf.frame_count, buf.byte_count)
-        if buf.limit_reached:  # 8 GB cap auto-stop (MainWindow.cpp:49-51)
-            self._stop_record_and_export()
+        if record_poll_transition(buf.limit_reached) == "autostop":
+            self._stop_record_and_export()  # 8 GB cap (MainWindow.cpp:49-51)
             return
         self.root.after(ExportProgressDialog.POLL_MS, self._poll_recording)
 
@@ -1055,7 +1155,7 @@ class MainWindow:
         if self._export_dialog is not None:
             self._export_dialog.close()
             self._export_dialog = None
-        if not frames:
+        if record_stop_decision(len(frames)) == "nothing":
             self.messagebox.showinfo("Record", "Nothing recorded")
             return
         dlg = ExportSettingsDialog(
@@ -1081,12 +1181,14 @@ class MainWindow:
     # --- close protection ------------------------------------------------------------------------
 
     def on_close(self):
-        if self._export_active() or self._recording_buf is not None:
-            # Close blocked mid-export (MainWindow.cpp:332-342): offer abort.
-            if not self.messagebox.askyesno(
-                "Export running", "An export/recording is running. Abort and quit?"
-            ):
-                return
+        busy = self._export_active() or self._recording_buf is not None
+        confirmed = busy and self.messagebox.askyesno(
+            "Export running", "An export/recording is running. Abort and quit?")
+        d = close_decision(self._export_active(),
+                           self._recording_buf is not None, confirmed)
+        if d == "ask":
+            return
+        if d == "abort_and_close":
             if self._recording_buf is not None:
                 self.controller.stop_recording()
                 self._recording_buf = None
@@ -1129,24 +1231,19 @@ class MainWindow:
     def _set_view(self):
         mode = ViewMode(self.view_var.get())
         self.display.view_mode = mode
-        # "Original" shows only the untouched frame, so skip the (heavy)
-        # magnification (reference MainWindow.cpp:199-204).
-        self.controller.set_magnify_active(mode is not ViewMode.ORIGINAL)
+        self.controller.set_magnify_active(view_magnify_active(mode))
 
     def _poll_display(self):
         view = self.display.poll_once()
         if view is not None:
-            cw = max(1, self.canvas.winfo_width())
-            ch = max(1, self.canvas.winfo_height())
             fh, fw = view.shape[:2]
-            scale = min(cw / fw, ch / fh)
-            dw, dh = max(1, int(fw * scale)), max(1, int(fh * scale))
+            dw, dh, x0, y0 = display_fit(self.canvas.winfo_width(),
+                                         self.canvas.winfo_height(), fh, fw)
             if (dw, dh) != (fw, fh):
                 ys = (np.arange(dh) * fh / dh).astype(int)
                 xs = (np.arange(dw) * fw / dw).astype(int)
                 view = view[ys][:, xs]
             self._photo = _frame_to_photo(self.tk, view)
-            x0, y0 = (cw - dw) // 2, (ch - dh) // 2
             self.canvas.delete("frame")
             self.canvas.create_image(x0, y0, image=self._photo, anchor="nw", tags="frame")
             self._img_geom = (x0, y0, dw, dh, fw, fh)
@@ -1154,25 +1251,17 @@ class MainWindow:
 
     def _poll_stats(self):
         s = self.controller.stats()
-        if self.controller.is_camera:
-            health = camera_health(s.drop_fraction)
-            text = (f"{s.process_fps:5.1f} fps   drops {s.drop_fraction*100:4.1f}%   "
-                    f"latency {s.latency_ms_mean:5.1f} ms (p95 {s.latency_ms_p95:.0f})")
-        else:
-            target = self.controller.reported_fps()
-            health = file_health(s.process_fps, target)
-            text = (f"{s.process_fps:5.1f} / {target:.0f} fps   q={s.queue_depth}   "
-                    f"latency {s.latency_ms_mean:5.1f} ms (p95 {s.latency_ms_p95:.0f})   "
-                    f"errors {s.proc_errors}")
-        if health != "ok":
-            text += "   — falling behind: shrink the ROI or increase downscale"
+        text, health = stats_line(
+            s.process_fps, s.latency_ms_mean, s.latency_ms_p95, s.queue_depth,
+            s.proc_errors, s.drop_fraction, self.controller.is_camera,
+            self.controller.reported_fps())
         self.status.configure(text=" " + text, bg=_HEALTH_COLORS[health])
         self.root.after(250, self._poll_stats)
 
     def _poll_timeline(self):
         if not self._scrubbing and self.controller.seekable():
-            total = max(1, self.controller.frame_count() - 1)
-            self.timeline.set(self.controller.current_frame() / total)
+            self.timeline.set(timeline_fraction(self.controller.current_frame(),
+                                                self.controller.frame_count()))
         self.root.after(60, self._poll_timeline)
 
     def run(self):

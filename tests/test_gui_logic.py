@@ -237,3 +237,107 @@ def test_validate_request_accepts_edited_config(tmp_path):
                         file_fps=30.0, split=SplitMode.LEFT_RIGHT,
                         text_overlay=True, format=ExportFormat.MP4_H264)
     assert validate_request(req, 100) == []
+
+
+# ------------------------------------------- export/record state machines
+
+def test_export_flow_state_machine_end_to_end():
+    """Guard -> processing ticks -> terminal texts, for every terminal phase
+    (MainWindow.cpp:503-661 without a display; VERDICT r3 item 6)."""
+    from live_video_magnification_tpu.export.types import ExportPhase
+    from live_video_magnification_tpu.gui import (
+        export_poll_transition,
+        export_start_guard,
+    )
+
+    # guards
+    assert export_start_guard(True, True) == "busy"
+    assert export_start_guard(False, False) == "no_file"
+    assert export_start_guard(False, True) == "proceed"
+
+    # a full successful run: N processing ticks then DONE
+    for _ in range(3):
+        action, text = export_poll_transition(ExportPhase.PROCESSING, 5, 100, None)
+        assert action == "continue" and text is None
+    action, text = export_poll_transition(ExportPhase.DONE, 100, 100, None)
+    assert action == "finish" and text == "Done — 100 frames written"
+
+    # abort and failure terminals
+    assert export_poll_transition(ExportPhase.ABORTED, 7, 100, None)[1] == \
+        "Aborted — partial file deleted"
+    assert export_poll_transition(ExportPhase.FAILED, 0, None, "boom")[1] == \
+        "Failed: boom"
+
+
+def test_record_flow_state_machine_end_to_end():
+    """Record toggle guards -> RAM-cap autostop -> settings-or-nothing
+    (MainWindow.cpp:568-585, the 8 GB cap at :49-51)."""
+    from live_video_magnification_tpu.gui import (
+        record_poll_transition,
+        record_start_guard,
+        record_stop_decision,
+    )
+
+    assert record_start_guard(False, False) == "begin"
+    assert record_start_guard(False, True) == "busy"
+    assert record_start_guard(True, False) == "stop"   # toggle stops
+    # polling: continues until the cap trips
+    assert record_poll_transition(False) == "continue"
+    assert record_poll_transition(True) == "autostop"
+    # stop outcome
+    assert record_stop_decision(0) == "nothing"
+    assert record_stop_decision(120) == "open_settings"
+
+
+def test_close_protection_decision():
+    """Close blocked mid-export unless the user confirms abort
+    (MainWindow.cpp:332-342)."""
+    from live_video_magnification_tpu.gui import close_decision
+
+    assert close_decision(False, False, False) == "close"
+    assert close_decision(True, False, False) == "ask"
+    assert close_decision(False, True, False) == "ask"
+    assert close_decision(True, False, True) == "abort_and_close"
+    assert close_decision(False, True, True) == "abort_and_close"
+
+
+def test_view_mode_magnify_dispatch():
+    from live_video_magnification_tpu.engine.display import ViewMode
+    from live_video_magnification_tpu.gui import view_magnify_active
+
+    assert view_magnify_active(ViewMode.ORIGINAL) is False
+    for m in (ViewMode.PROCESSED, ViewMode.SIDE_BY_SIDE, ViewMode.TOP_BOTTOM):
+        assert view_magnify_active(m) is True
+
+
+def test_stats_line_health_and_hint():
+    """StatusStrip formatting + StatusHealth thresholds headless
+    (StatusHealth.hpp: file ok>=0.95/warn>=0.80; camera warn>2%/bad>15%)."""
+    from live_video_magnification_tpu.gui import stats_line
+
+    text, health = stats_line(59.0, 12.0, 20.0, 1, 0, 0.0, False, 60.0)
+    assert health == "ok" and "59.0 / 60 fps" in text and "falling behind" not in text
+    text, health = stats_line(50.0, 12.0, 20.0, 1, 0, 0.0, False, 60.0)
+    assert health == "warn" and "falling behind" in text
+    text, health = stats_line(20.0, 12.0, 20.0, 1, 0, 0.0, False, 60.0)
+    assert health == "bad"
+    text, health = stats_line(30.0, 5.0, 9.0, 0, 0, 0.01, True, 30.0)
+    assert health == "ok" and "drops  1.0%" in text
+    _text, health = stats_line(30.0, 5.0, 9.0, 0, 0, 0.20, True, 30.0)
+    assert health == "bad"
+
+
+def test_display_fit_letterbox_math():
+    from live_video_magnification_tpu.gui import display_fit, timeline_fraction
+
+    # 16:9 frame in a square canvas: pillar/letter boxed and centered
+    dw, dh, x0, y0 = display_fit(400, 400, 1080, 1920)
+    assert (dw, dh) == (400, 225) and x0 == 0 and y0 == (400 - 225) // 2
+    # canvas wider than frame aspect
+    dw, dh, x0, y0 = display_fit(1000, 225, 1080, 1920)
+    assert (dw, dh) == (400, 225) and x0 == 300 and y0 == 0
+    # degenerate canvas never divides by zero
+    assert display_fit(0, 0, 10, 10)[:2] == (1, 1)
+    assert timeline_fraction(0, 100) == 0.0
+    assert timeline_fraction(99, 100) == 1.0
+    assert timeline_fraction(0, 1) == 0.0  # single-frame clip
