@@ -171,9 +171,15 @@ def bench_time_parallel(mode: str, h: int, w: int, levels: int, t_chunk: int,
 
 
 def bench_sharded_step(h: int, w: int, levels: int, steps: int,
-                       fps_cfg: float = 30.0) -> dict:
+                       fps_cfg: float = 30.0, force_halo: bool = False) -> dict:
     """Explicit shard_map Pallas phase step on a mesh of 1 (the multi-chip
-    code path, single-chip speed — VERDICT round-1 item 2 done criterion)."""
+    code path, single-chip speed — VERDICT round-1 item 2 done criterion).
+
+    Since round 4 the mesh-of-1 plan replicates every level (no neighbors ->
+    no halo machinery: the multi-chip program degenerates to the unsharded
+    kernels). force_halo=True keeps the lane-sharded halo path at n==1 — the
+    honest upper bound on the per-chip cost the halo machinery adds
+    (14.84 vs 13.44 ms f32 at 4K, R4_CAMPAIGN.json)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -188,7 +194,8 @@ def bench_sharded_step(h: int, w: int, levels: int, steps: int,
     # protocol as bench_mode_scan — per-call dispatch through the relay would
     # measure queueing, not compute).
     step, state = build_sharded_riesz_step(mesh, 1, h, w, levels,
-                                           repeat_steps=steps)
+                                           repeat_steps=steps,
+                                           force_sharded=force_halo)
     _, dyn, _, _ = _mode_setup("phase", h, w, levels, fps_cfg)
     rng = np.random.default_rng(0)
     frame = jnp.asarray(rng.integers(0, 255, (1, 3, h, w), dtype=np.uint8))
@@ -300,20 +307,25 @@ def run_matrix(steps: int) -> list:
     def bf16_4k():
         import os as _os
 
-        prev = _os.environ.get("LVMT_MXU_DTYPE")
+        prev = {k: _os.environ.get(k) for k in ("LVMT_MXU_DTYPE", "LVMT_TAIL")}
         _os.environ["LVMT_MXU_DTYPE"] = "bf16"
+        _os.environ["LVMT_TAIL"] = "mxu"  # measured best fast-mode pairing
         try:
             return bench_mode_scan("phase", 2160, 3840, 6, steps)
         finally:  # restore the caller's setting, not a hardcoded default
-            if prev is None:
-                _os.environ.pop("LVMT_MXU_DTYPE", None)
-            else:
-                _os.environ["LVMT_MXU_DTYPE"] = prev
+            for k, v in prev.items():
+                if v is None:
+                    _os.environ.pop(k, None)
+                else:
+                    _os.environ[k] = v
 
     add("phase_4k_bf16_fastmode_fps_per_chip", 60.0, bf16_4k,
-        note="LVMT_MXU_DTYPE=bf16 opt-in fast mode (bf16-operand banded "
-             "stencils, f32 accumulate): 44.1 dB vs the f32 path on 720p "
-             "video-like content (MXU_BF16_AB.json); default stays f32")
+        note="LVMT_MXU_DTYPE=bf16 + LVMT_TAIL=mxu opt-in fast mode "
+             "(bf16-operand banded stencils + MXU-banded blur tail, the "
+             "measured best pairing: 8.42 vs 8.74 ms/frame jnp-tail, "
+             "R4_CAMPAIGN.json): 44.1 dB vs the f32 path on harsh synthetic "
+             "720p content, 48.8 dB worst-frame vs the compiled reference "
+             "on realistic footage; default stays f32")
     add("phase_1080p_timeparallel_fps_per_chip", 60.0,
         lambda: bench_time_parallel("phase", 1080, 1920, 6, t_chunk=8),
         note="process_clip_parallel T=8 chunk (config-5 single-chip proxy)")
@@ -321,8 +333,13 @@ def run_matrix(steps: int) -> list:
     add("phase_4k_shardedstep_fps_per_chip", 60.0,
         lambda: bench_sharded_step(2160, 3840, 6, steps),
         note="explicit shard_map Pallas path, mesh=1, one scanned dispatch "
-             "(repeat_steps); the gap vs the unsharded step is the halo "
-             "machinery the multi-chip path carries")
+             "(repeat_steps); since round 4 the mesh-of-1 plan degenerates "
+             "to local compute (no neighbors -> no halo machinery)")
+    add("phase_4k_shardedstep_forcedhalo_fps_per_chip", 60.0,
+        lambda: bench_sharded_step(2160, 3840, 6, steps, force_halo=True),
+        note="same path with the lane-sharded halo machinery FORCED at "
+             "mesh=1 — the per-chip tax the real n-way halo path carries "
+             "before any ICI byte (A/B vs the degenerate entry above)")
     # config 4: streaming host loop 1080p@60 ROI + 1/2, measured on the CPU
     # backend in a subprocess — through the axon relay the device->host frame
     # readback (~320 KB/s) is the artifact being avoided; the metric here is
@@ -450,20 +467,23 @@ def main() -> int:
         # bound: TPU_REFERENCE_PARITY.json) as an extra field, same session
         import os as _os
 
-        prev = _os.environ.get("LVMT_MXU_DTYPE")
+        prev = {k: _os.environ.get(k) for k in ("LVMT_MXU_DTYPE", "LVMT_TAIL")}
         _os.environ["LVMT_MXU_DTYPE"] = "bf16"
+        _os.environ["LVMT_TAIL"] = "mxu"
         try:
             rf = bench_mode_scan(args.mode, h, w, levels, args.steps)
             entry["fast_mode_fps"] = round(rf["fps"], 2)
             entry["note"] = ("default f32 path; fast_mode_fps = LVMT_MXU_DTYPE"
-                            "=bf16 (48.8 dB worst vs the compiled reference)")
+                            "=bf16 + LVMT_TAIL=mxu (48.8 dB worst vs the "
+                            "compiled reference)")
         except Exception:
             pass
         finally:
-            if prev is None:
-                _os.environ.pop("LVMT_MXU_DTYPE", None)
-            else:
-                _os.environ["LVMT_MXU_DTYPE"] = prev
+            for k, v in prev.items():
+                if v is None:
+                    _os.environ.pop(k, None)
+                else:
+                    _os.environ[k] = v
     print(json.dumps(entry))
     print(f"# device={jax.devices()[0].device_kind} levels={levels} "
           f"compile+warm={r['compile_s']:.1f}s rtt={r['rtt_s']*1e3:.0f}ms "

@@ -43,12 +43,16 @@ def _add_mag_args(p: argparse.ArgumentParser) -> None:
 
 
 def _apply_fast_mode(args) -> None:
-    """--fast sets LVMT_MXU_DTYPE=bf16 BEFORE any chain is built (the flag is
-    resolved into the jit-cache key at chain build time)."""
+    """--fast sets LVMT_MXU_DTYPE=bf16 + LVMT_TAIL=mxu BEFORE any chain is
+    built (both flags are resolved into the jit-cache key at chain build
+    time). bf16 + the MXU-banded blur tail is the measured best fast-mode
+    pairing: 8.42 vs 8.74 ms/4K-frame (R4_CAMPAIGN.json); an explicit
+    LVMT_TAIL in the environment still wins."""
     import os
 
     if getattr(args, "fast", False):
         os.environ["LVMT_MXU_DTYPE"] = "bf16"
+        os.environ.setdefault("LVMT_TAIL", "mxu")
 
 
 def _config_from_args(args, source_fps: float):

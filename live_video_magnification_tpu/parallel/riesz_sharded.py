@@ -89,8 +89,17 @@ class RieszShardPlan:
         return all(self.sharded)
 
 
-def make_plan(h: int, w: int, levels: int, n: int) -> RieszShardPlan:
+def make_plan(h: int, w: int, levels: int, n: int,
+              force_sharded: bool = False) -> RieszShardPlan:
+    """W-axis sharding plan. A mesh of 1 has no neighbors: every level is
+    'replicated' (= plain local compute through the same multi-chip program,
+    zero halo machinery) so the sharded step degenerates to the unsharded
+    kernels exactly — measured 14.84 vs 13.44 ms/4K-frame for the forced-halo
+    variant (R4_CAMPAIGN.json). force_sharded=True keeps the halo path at
+    n==1 for that A/B (and for interpret-mode halo tests)."""
     sizes = tuple(riesz_level_sizes(h, w, levels))
+    if n == 1 and not force_sharded:
+        return RieszShardPlan(n, levels, sizes, (False,) * levels)
     flags: List[bool] = []
     ok = True
     for l, (lh, lw) in enumerate(sizes):
@@ -605,6 +614,7 @@ def build_sharded_riesz_step(
     repeat_steps: int = 0,
     tail: str | None = None,
     band_parallel: bool = False,
+    force_sharded: bool = False,
 ):
     """(jitted_step, sharded_init_state) for the explicit Pallas+halo phase step.
 
@@ -621,8 +631,8 @@ def build_sharded_riesz_step(
     batch_axis = "batch" if "batch" in mesh.axis_names else None
     nb = mesh.shape.get("batch", 1)
     assert batch % nb == 0, f"batch {batch} not divisible by batch axis {nb}"
-    plan = make_plan(h, w, levels, n)
-    if not plan.sharded[0]:
+    plan = make_plan(h, w, levels, n, force_sharded=force_sharded)
+    if n > 1 and not plan.sharded[0]:
         raise ValueError(
             f"W={w} cannot be lane-sharded {n}-way at level 0; use the GSPMD path"
         )
@@ -647,14 +657,20 @@ def build_sharded_riesz_step(
         return stacked, jnp.stack(outs)
 
     if repeat_steps:
-        # Benchmark form: one dispatch scans `repeat_steps` sharded steps over
-        # the same frame (timing protocol of bench.py — the relay returns at
-        # dispatch time, so per-call timing would measure queueing).
+        # Benchmark form: one dispatch scans `repeat_steps` sharded steps
+        # (timing protocol of bench.py — the relay returns at dispatch time,
+        # so per-call timing would measure queueing). The frame VALUES vary
+        # per step (a fused u8 add): with a constant frame XLA hoists the
+        # loop-invariant pyramid build out of the scan and the bench measures
+        # only the temporal tail (caught in round 4 — the degenerate mesh-1
+        # path timed 9.8 ms vs the honest 13.4; bench_mode_scan varies its
+        # frame the same way).
         inner = local_fn
 
         def local_fn(state, frames, dyn):  # noqa: F811
-            def body(st, _):
-                st, out = inner(st, frames, dyn)
+            def body(st, t):
+                fr = frames + (t % 3).astype(jnp.uint8)
+                st, out = inner(st, fr, dyn)
                 return st, jnp.sum(out[:, :, ::64, ::64].astype(jnp.int32))
 
             state, sums = lax.scan(body, state, jnp.arange(repeat_steps))

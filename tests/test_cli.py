@@ -216,10 +216,14 @@ def test_magnify_fast_flag_sets_mxu_dtype(clip_path, tmp_path, monkeypatch):
     # cli.main mutates the real environment, and a leaked bf16 flag would
     # flip every later pallas golden test into the fast mode.
     monkeypatch.setenv("LVMT_MXU_DTYPE", "f32")
+    monkeypatch.setenv("LVMT_TAIL", "jnp")
+    monkeypatch.delenv("LVMT_TAIL", raising=False)
     out = str(tmp_path / "fast.avi")
     assert cli.main(["magnify", clip_path, out, "--mode", "laplace",
                      "--chunk", "5", "--end", "6", "--fast"]) == 0
     assert os.environ.get("LVMT_MXU_DTYPE") == "bf16"
+    # the measured best fast-mode pairing includes the MXU blur tail
+    assert os.environ.get("LVMT_TAIL") == "mxu"
     assert _read(out).shape[0] == 6
 
 

@@ -287,14 +287,19 @@ def test_explicit_riesz_mesh_of_one_keeps_pallas_path():
     mesh = make_mesh((1, 1), ("batch", "tile"), devices=jax.devices()[:1])
     frames = _frames(batch, t, h, w)
     dyn = _riesz_dyn(levels)
-    step, state = build_sharded_riesz_step(mesh, batch, h, w, levels, kernels="jnp")
-    ref_state = riesz_mode.init_state(h, w, levels)
-    for ti in range(t):
-        ref_state, o = riesz_mode.step(
-            ref_state, jnp.asarray(frames[0, ti]), dyn, levels=levels
-        )
-        state, out = step(state, jnp.asarray(frames[:, ti]), dyn)
-        assert_u8_close(np.asarray(out[0]), np.asarray(o), max_lsb=0)
+    # default: degenerate plan (replicate-everything = the unsharded kernels);
+    # force_sharded keeps the halo machinery at n==1 — both must bit-match.
+    for force in (False, True):
+        step, state = build_sharded_riesz_step(mesh, batch, h, w, levels,
+                                               kernels="jnp",
+                                               force_sharded=force)
+        ref_state = riesz_mode.init_state(h, w, levels)
+        for ti in range(t):
+            ref_state, o = riesz_mode.step(
+                ref_state, jnp.asarray(frames[0, ti]), dyn, levels=levels
+            )
+            state, out = step(state, jnp.asarray(frames[:, ti]), dyn)
+            assert_u8_close(np.asarray(out[0]), np.asarray(o), max_lsb=0)
 
 
 def test_graft_entry_dryrun():
