@@ -88,6 +88,7 @@ class _StaticKey(NamedTuple):
     tail_mode: str = "jnp"
     mxu_dtype: str = "f32"
     mxu_precision: str = "highest"
+    conv9_variant: str = "dense"
 
 
 class ChainStep(NamedTuple):
@@ -278,6 +279,7 @@ class MagnificationChain:
             os.environ.get("LVMT_TAIL", "jnp"),
             os.environ.get("LVMT_MXU_DTYPE", "f32"),
             os.environ.get("LVMT_MXU_PRECISION", "highest").lower(),
+            os.environ.get("LVMT_CONV9", "dense"),
         )
 
     def process(self, frame_u8_hwc, cfg: ProcessorConfig):

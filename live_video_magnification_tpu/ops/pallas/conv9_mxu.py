@@ -136,6 +136,46 @@ def _pad_reflect_symmetric2(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([left, x, right], axis=1)
 
 
+def _conv9_variant(bf16: bool) -> str:
+    """LVMT_CONV9 in {auto, dense, svd}: banded-stencil formulation.
+
+    'dense': 9 banded matmuls per block, one per vertical tap.
+    'svd': the 9x9 kernels are EXACTLY rank 5 (4 zero singular values), so
+    conv = sum of 5 separable col⊗row terms — 5 banded matmuls per block plus
+    5x9 VPU sublane multiply-adds for the column taps.
+    'auto' (default): svd for f32 operands, dense for bf16 — measured at 4K
+    (R4 svd A/B, same session): f32 11.62 vs 13.23 ms full step (the MXU-
+    rate-bound stages shrink 0.56x and the VPU taps hide under them); bf16
+    8.94 vs 8.01 (the 4x-faster matmuls make the VPU taps the bottleneck)."""
+    import os
+
+    v = os.environ.get("LVMT_CONV9", "auto")
+    if v == "auto":
+        return "dense" if bf16 else "svd"
+    return v
+
+
+def _svd_factors(k: np.ndarray):
+    """Exact separable factorization k = sum_i col_i ⊗ row_i (f64 SVD).
+    Returns (col [r, 9], row [r, 9]); r == 5 for the Riesz kernels."""
+    u, s, vt = np.linalg.svd(np.asarray(k, np.float64))
+    r = int(np.sum(s > s[0] * 1e-12))
+    col = (u[:, :r] * s[:r]).T
+    row = vt[:r]
+    return np.ascontiguousarray(col), np.ascontiguousarray(row)
+
+
+def _svd_row_bank(row: np.ndarray) -> np.ndarray:
+    """B[i, q+b, q] = row[i, b]. Shape (r, 256, 128)."""
+    r = row.shape[0]
+    bank = np.zeros((r, 2 * _LANES, _LANES), np.float32)
+    for i in range(r):
+        for q in range(_LANES):
+            for b in range(9):
+                bank[i, q + b, q] = row[i, b]
+    return bank
+
+
 # --------------------------------------------------------------------------- dense
 
 
@@ -153,6 +193,65 @@ def _dense_kernel(x_hbm, bank_ref, out_ref, strip, sem, *, n_blocks: int, bf16: 
             term = _mxu_dot(slab, bank_ref[a], bf16, prec)
             acc = term if acc is None else acc + term
         out_ref[:, j * _LANES : (j + 1) * _LANES] = acc
+
+
+def _dense_svd_kernel(x_hbm, bank_ref, out_ref, strip, sem,
+                      *, n_blocks: int, col_taps, bf16: bool, prec: str):
+    """Separable rank-r form: per block, r vertical VPU passes (9 sublane
+    fmas each) + r banded matmuls, vs the dense form's 9 matmuls."""
+    ti = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(ti * _TILE_R, _TILE_R + 8), :], strip, sem
+    )
+    cp.start()
+    cp.wait()
+    r = len(col_taps)
+    for j in range(n_blocks):
+        cols = slice(j * _LANES, j * _LANES + 2 * _LANES)
+        acc = None
+        for i in range(r):
+            v = None
+            for a in range(9):
+                t = strip[a : a + _TILE_R, cols] * col_taps[i][a]
+                v = t if v is None else v + t
+            term = _mxu_dot(v, bank_ref[i], bf16, prec)
+            acc = term if acc is None else acc + term
+        out_ref[:, j * _LANES : (j + 1) * _LANES] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "bf16", "prec", "col_taps")
+)
+def _run_dense_svd(padded: jnp.ndarray, bank: jnp.ndarray, col_taps,
+                   interpret: bool = False, bf16: bool = False,
+                   prec: str = "highest"):
+    hp, wp = padded.shape
+    n_tiles = (hp - 8) // _TILE_R
+    n_blocks = wp // _LANES - 1
+    r = len(col_taps)
+    kernel = functools.partial(_dense_svd_kernel, n_blocks=n_blocks,
+                               col_taps=col_taps, bf16=bf16, prec=prec)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((r, 2 * _LANES, _LANES), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((_TILE_R, n_blocks * _LANES), lambda i: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((_TILE_R + 8, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles * _TILE_R, n_blocks * _LANES), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(padded, bank)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "bf16", "prec"))
@@ -201,9 +300,17 @@ def conv9_mxu(x: jnp.ndarray, kernel9, interpret: bool = False,
     p = jnp.pad(
         p, ((0, n_tiles * _TILE_R + 8 - (h + 8)), (0, wp - (w + 8))), mode="edge"
     )
-    bank = jnp.asarray(_dense_bank(k))
-    out = _run_dense(p, bank, interpret=interpret, bf16=_resolve_bf16(bf16),
-                     prec=_mxu_precision_name())
+    use_bf16 = _resolve_bf16(bf16)
+    if _conv9_variant(use_bf16) == "svd":
+        col, row = _svd_factors(k)
+        col_taps = tuple(tuple(float(v) for v in c) for c in col)
+        bank = jnp.asarray(_svd_row_bank(row))
+        out = _run_dense_svd(p, bank, col_taps, interpret=interpret,
+                             bf16=use_bf16, prec=_mxu_precision_name())
+    else:
+        bank = jnp.asarray(_dense_bank(k))
+        out = _run_dense(p, bank, interpret=interpret, bf16=use_bf16,
+                         prec=_mxu_precision_name())
     return out[:h, :w]
 
 
@@ -424,6 +531,87 @@ def _dec_kernel(pe_hbm, po_hbm, e_bank, o_bank, out_ref, strip_e, strip_o, sems,
         out_ref[:, j * _LANES : (j + 1) * _LANES] = acc
 
 
+def _dec_svd_bank(row: np.ndarray) -> np.ndarray:
+    """B[i, p, q] = row[i, p - 2q] for 0 <= p - 2q <= 8. Shape (r, 384, 128)."""
+    r = row.shape[0]
+    bank = np.zeros((r, 3 * _LANES, _LANES), np.float32)
+    for i in range(r):
+        for q in range(_LANES):
+            for b in range(9):
+                bank[i, 2 * q + b, q] = row[i, b]
+    return bank
+
+
+def _dec_svd_kernel(pe_hbm, po_hbm, bank_ref, out_ref, strip_e, strip_o, sems,
+                    *, n_blocks: int, col_taps, bf16: bool, prec: str):
+    """Separable rank-r decimate: the vertical taps mirror _dec_kernel's
+    parity-plane indexing exactly (even a -> strip_e[a/2], odd a ->
+    strip_o[(a-1)/2]); one banded matmul per rank."""
+    ti = pl.program_id(0)
+    cp0 = pltpu.make_async_copy(
+        pe_hbm.at[pl.ds(ti * _TILE_R, _TILE_R + 8), :], strip_e, sems.at[0]
+    )
+    cp1 = pltpu.make_async_copy(
+        po_hbm.at[pl.ds(ti * _TILE_R, _TILE_R + 8), :], strip_o, sems.at[1]
+    )
+    cp0.start()
+    cp1.start()
+    cp0.wait()
+    cp1.wait()
+    r = len(col_taps)
+    for j in range(n_blocks):
+        cols = slice(j * 2 * _LANES, j * 2 * _LANES + 3 * _LANES)
+        acc = None
+        for i in range(r):
+            v = None
+            for ai in range(5):      # a = 0,2,4,6,8
+                t = strip_e[ai : ai + _TILE_R, cols] * col_taps[i][2 * ai]
+                v = t if v is None else v + t
+            for ai in range(4):      # a = 1,3,5,7
+                v = v + (strip_o[ai : ai + _TILE_R, cols]
+                         * col_taps[i][2 * ai + 1])
+            term = _mxu_dot(v, bank_ref[i], bf16, prec)
+            acc = term if acc is None else acc + term
+        out_ref[:, j * _LANES : (j + 1) * _LANES] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "bf16", "prec", "col_taps")
+)
+def _run_dec_svd(pe: jnp.ndarray, po: jnp.ndarray, bank, col_taps,
+                 interpret: bool = False, bf16: bool = False,
+                 prec: str = "highest"):
+    hp, wp = pe.shape
+    n_tiles = (hp - 8) // _TILE_R
+    n_blocks = (wp - _LANES) // (2 * _LANES)
+    r = len(col_taps)
+    kernel = functools.partial(_dec_svd_kernel, n_blocks=n_blocks,
+                               col_taps=col_taps, bf16=bf16, prec=prec)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((r, 3 * _LANES, _LANES), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((_TILE_R, n_blocks * _LANES), lambda i: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((_TILE_R + 8, wp), jnp.float32),
+            pltpu.VMEM((_TILE_R + 8, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles * _TILE_R, n_blocks * _LANES), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(pe, po, bank)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "bf16", "prec"))
 def _run_dec(pe: jnp.ndarray, po: jnp.ndarray, e_bank, o_bank,
              interpret: bool = False, bf16: bool = False, prec: str = "highest"):
@@ -479,8 +667,16 @@ def lp9_decimate_mxu(
     wp = 2 * n_blocks * _LANES + _LANES  # slab start 256j, width 384
     p = jnp.pad(p, ((0, rows_need - (h + 8)), (0, wp - (w + 8))), mode="edge")
     pe, po = p[0::2], p[1::2]
-    e_bank = jnp.asarray(_dec_bank(k, 0))
-    o_bank = jnp.asarray(_dec_bank(k, 1))
-    out = _run_dec(pe, po, e_bank, o_bank, interpret=interpret,
-                   bf16=_resolve_bf16(bf16), prec=_mxu_precision_name())
+    use_bf16 = _resolve_bf16(bf16)
+    if _conv9_variant(use_bf16) == "svd":
+        col, row = _svd_factors(k)
+        col_taps = tuple(tuple(float(v) for v in c) for c in col)
+        bank = jnp.asarray(_dec_svd_bank(row))
+        out = _run_dec_svd(pe, po, bank, col_taps, interpret=interpret,
+                           bf16=use_bf16, prec=_mxu_precision_name())
+    else:
+        e_bank = jnp.asarray(_dec_bank(k, 0))
+        o_bank = jnp.asarray(_dec_bank(k, 1))
+        out = _run_dec(pe, po, e_bank, o_bank, interpret=interpret,
+                       bf16=use_bf16, prec=_mxu_precision_name())
     return out[:h2, :w2]

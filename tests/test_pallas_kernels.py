@@ -110,6 +110,31 @@ def test_riesz_amplify_fused_matches_ops(h, w):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("h,w", [(128, 128), (130, 250), (97, 201)])
+def test_conv9_mxu_svd_variant_matches_dense(h, w, monkeypatch):
+    """LVMT_CONV9=svd — the exact rank-5 separable formulation (5 banded
+    matmuls + VPU column taps) == correlate2d, both 9x9 kernels (round-4
+    MXU-work-diet candidate)."""
+    from live_video_magnification_tpu.ops.pallas.conv9_mxu import (
+        _svd_factors,
+        conv9_mxu,
+        lp9_decimate_mxu,
+    )
+
+    col, row = _svd_factors(np.asarray(RIESZ_LOWPASS_9x9))
+    assert col.shape[0] == 5  # exactly rank 5
+    monkeypatch.setenv("LVMT_CONV9", "svd")
+    x = jnp.asarray(RNG.random((h, w)).astype(np.float32) * 100.0 - 50.0)
+    for k in (RIESZ_HIGHPASS_9x9, 2.0 * RIESZ_LOWPASS_9x9):
+        ref = correlate2d(x, k)
+        got = conv9_mxu(x, k, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=6e-4)
+    ref = correlate2d(x, 2.0 * RIESZ_LOWPASS_9x9)[::2, ::2]
+    got = lp9_decimate_mxu(x, 2.0 * RIESZ_LOWPASS_9x9, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=6e-4)
+
+
 def test_hybrid_bf16_level_resolution(monkeypatch):
     """LVMT_MXU_DTYPE=hybrid keeps the finest level f32; hybrid-band keeps the
     Riesz band pair f32 everywhere (VERDICT round-3 item 4)."""
@@ -365,6 +390,10 @@ def test_riesz_step_phase_fused_with_jnp_blur_tail_matches_jnp_step(monkeypatch)
     monkeypatch.setattr(c9, "MIN_MXU_DIM", 16)
     monkeypatch.setenv("LVMT_PALLAS", "1")   # auto-gate on despite CPU backend
     monkeypatch.delenv("LVMT_TAIL", raising=False)  # default jnp blur tail
+    # pin the dense conv formulation: this test targets the phase-fused
+    # branch; the svd build's different rounding at phase-singular pixels
+    # shifts the accumulator state beyond the tight tolerance below
+    monkeypatch.setenv("LVMT_CONV9", "dense")
 
     t, h, w, levels = 4, 48, 64, 2
     frames = synthetic_clip(t, h, w, color=True, seed=45)
