@@ -172,6 +172,35 @@ def step(
             and cur[lvl].lowpass.ndim == 2
             and _tail_mode() == "mxu" and _use_mxu(lh, lw)
         )
+        # LVMT_TAIL=level: the whole per-level temporal tail (phase front +
+        # shared-acc DF-II + MXU blurs + amplify) as ONE kernel — 27 HBM
+        # plane passes/level instead of ~36 (riesz_level_mxu).
+        if (use_pallas is None and not phase_kernel
+                and cur[lvl].lowpass.ndim == 2
+                and _tail_mode() == "level" and _use_mxu(lh, lw)):
+            from live_video_magnification_tpu.ops.pallas.riesz_level_mxu import (
+                riesz_level_mxu,
+            )
+
+            out_l, acc2, lo2, hi2 = riesz_level_mxu(
+                cur[lvl].lowpass, cur[lvl].riesz.cos, cur[lvl].riesz.sin,
+                state.old[lvl].lowpass, state.old[lvl].riesz.cos,
+                state.old[lvl].riesz.sin,
+                (state.acc[lvl].cos, state.acc[lvl].sin),
+                (state.lo[lvl].reg0.cos, state.lo[lvl].reg0.sin,
+                 state.lo[lvl].reg1.cos, state.lo[lvl].reg1.sin),
+                (state.hi[lvl].reg0.cos, state.hi[lvl].reg0.sin,
+                 state.hi[lvl].reg1.cos, state.hi[lvl].reg1.sin),
+                dyn.b_lo, dyn.a_lo, dyn.b_hi, dyn.a_hi,
+                rebuild_old, dyn.amplification, dyn.threshold,
+            )
+            new_acc.append(CompExp(acc2[0], acc2[1]))
+            new_lo.append(RegPair(CompExp(lo2[0], lo2[1]),
+                                  CompExp(lo2[2], lo2[3])))
+            new_hi.append(RegPair(CompExp(hi2[0], hi2[1]),
+                                  CompExp(hi2[2], hi2[3])))
+            lowpasses.append(out_l)
+            continue
         # The TAIL defaults to jnp even when the MXU build/collapse kernels are
         # on: the jnp normalize+amplify (XLA-fused blurs) measured FASTER than
         # riesz_amplify_fused at 4K (5.64 vs 7.26 ms, same-day A/B — see

@@ -191,6 +191,9 @@ class _Ops:
             from live_video_magnification_tpu.ops.riesz import _tail_mode
 
             tail = _tail_mode() if mode != "jnp" else "jnp"
+        # the fused level kernel (LVMT_TAIL=level) has no sharded form yet;
+        # its closest sharded analogue is the mxu blur tail
+        tail = {"level": "mxu"}.get(tail, tail)
         assert tail in ("jnp", "pallas", "mxu")
         self.tail = tail if mode != "jnp" else "jnp"
 

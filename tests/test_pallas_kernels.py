@@ -424,3 +424,122 @@ def test_riesz_step_phase_fused_with_jnp_blur_tail_matches_jnp_step(monkeypatch)
     for a, b in zip(jax.tree.leaves(st_ref), jax.tree.leaves(st_fus)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("rebuild", [False, True])
+def test_riesz_level_mxu_matches_jnp_composition(rebuild):
+    """The fused per-level kernel (phase front + shared-acc DF-II + MXU blurs
+    + amplify, LVMT_TAIL=level) == the jnp composition, both rebuild arms."""
+    import jax
+
+    from live_video_magnification_tpu.ops.pallas.riesz_level_mxu import (
+        riesz_level_mxu,
+    )
+    from live_video_magnification_tpu.ops.riesz import (
+        RieszLevel,
+        amplify_level,
+        amplitude_blur,
+        phase_difference_and_amplitude,
+    )
+    from live_video_magnification_tpu.ops.temporal import (
+        CompExp,
+        butterworth_bandpass_coeffs,
+        riesz_df2_step,
+    )
+
+    rng = np.random.default_rng(23)
+    h, w = 40, 72
+    mk = lambda: jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    cur = RieszLevel(mk(), CompExp(mk(), mk()))
+    old = RieszLevel(mk(), CompExp(mk(), mk()))
+    acc = CompExp(mk(), mk())
+    lo = (CompExp(mk(), mk()), CompExp(mk(), mk()))   # reg0, reg1
+    hi = (CompExp(mk(), mk()), CompExp(mk(), mk()))
+    b_lo, a_lo = butterworth_bandpass_coeffs(0.7, 30.0)
+    b_hi, a_hi = butterworth_bandpass_coeffs(3.0, 30.0)
+    b_lo, a_lo = jnp.asarray(b_lo, jnp.float32), jnp.asarray(a_lo, jnp.float32)
+    b_hi, a_hi = jnp.asarray(b_hi, jnp.float32), jnp.asarray(a_hi, jnp.float32)
+    alpha, threshold = 30.0, 1.2
+
+    # jnp reference with the same rebuild/zero semantics
+    o = cur if rebuild else old
+    z = (lambda x: jnp.zeros_like(x)) if rebuild else (lambda x: x)
+    acc_m = jax.tree.map(z, acc)
+    lo_m = jax.tree.map(z, lo)
+    hi_m = jax.tree.map(z, hi)
+    pr = phase_difference_and_amplitude(cur, o, compute_blur=True)
+    lo_res, phase, lo_r0, lo_r1 = riesz_df2_step(
+        acc_m, lo_m[0], lo_m[1], pr.phase_diff, b_lo, a_lo)
+    hi_res, _, hi_r0, hi_r1 = riesz_df2_step(
+        acc_m, hi_m[0], hi_m[1], pr.phase_diff, b_hi, a_hi)
+    ch = hi_res - lo_res
+    nc = amplitude_blur(ch.cos * pr.amplitude) / pr.amplitude_blurred
+    ns = amplitude_blur(ch.sin * pr.amplitude) / pr.amplitude_blurred
+    ref = amplify_level(cur, CompExp(nc, ns), alpha, threshold)
+
+    got, acc2, lo2, hi2 = riesz_level_mxu(
+        cur.lowpass, cur.riesz.cos, cur.riesz.sin,
+        old.lowpass, old.riesz.cos, old.riesz.sin,
+        (acc.cos, acc.sin),
+        (lo[0].cos, lo[0].sin, lo[1].cos, lo[1].sin),
+        (hi[0].cos, hi[0].sin, hi[1].cos, hi[1].sin),
+        b_lo, a_lo, b_hi, a_hi, jnp.asarray(rebuild), alpha, threshold,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-4, rtol=1e-3)
+    for got_s, want in zip(
+        (acc2[0], acc2[1], lo2[0], lo2[1], lo2[2], lo2[3],
+         hi2[0], hi2[1], hi2[2], hi2[3]),
+        (phase.cos, phase.sin, lo_r0.cos, lo_r0.sin, lo_r1.cos, lo_r1.sin,
+         hi_r0.cos, hi_r0.sin, hi_r1.cos, hi_r1.sin),
+    ):
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_riesz_step_level_tail_matches_jnp_step(monkeypatch):
+    """Full phase step with LVMT_TAIL=level (the fused per-level kernel) vs
+    the plain jnp step, <=1 LSB over a short clip."""
+    import functools
+    import math
+
+    import jax.numpy as jnp
+
+    import live_video_magnification_tpu.ops.pallas.conv9_mxu as c9
+    import live_video_magnification_tpu.ops.pallas.riesz_level_mxu as rlm
+    from live_video_magnification_tpu.models import riesz as riesz_mode
+    from live_video_magnification_tpu.ops.temporal import butterworth_bandpass_coeffs
+    from oracle import synthetic_clip
+
+    for mod, name in [(c9, "conv9_mxu"), (c9, "band5_mxu"),
+                      (c9, "lp9_decimate_mxu"), (c9, "lp9_inject_mxu"),
+                      (rlm, "riesz_level_mxu")]:
+        monkeypatch.setattr(mod, name,
+                            functools.partial(getattr(mod, name), interpret=True))
+    monkeypatch.setattr(c9, "MIN_MXU_DIM", 16)
+    monkeypatch.setenv("LVMT_PALLAS", "1")
+    monkeypatch.setenv("LVMT_TAIL", "level")
+    monkeypatch.setenv("LVMT_CONV9", "dense")
+
+    t, h, w, levels = 4, 48, 64, 2
+    frames = synthetic_clip(t, h, w, color=True, seed=46)
+    b_lo, a_lo = butterworth_bandpass_coeffs(0.5, 30.0)
+    b_hi, a_hi = butterworth_bandpass_coeffs(3.0, 30.0)
+    dyn = riesz_mode.RieszDynParams(
+        jnp.float32(30.0), jnp.float32(0.4 * math.pi),
+        jnp.asarray(b_lo, jnp.float32), jnp.asarray(a_lo, jnp.float32),
+        jnp.asarray(b_hi, jnp.float32), jnp.asarray(a_hi, jnp.float32),
+        jnp.asarray(False), jnp.asarray(False),
+    )
+    st_ref = riesz_mode.init_state(h, w, levels)
+    st_fus = riesz_mode.init_state(h, w, levels)
+    for f in frames:
+        chw = jnp.asarray(np.moveaxis(f, -1, 0))
+        st_ref, o_ref = riesz_mode.step(st_ref, chw, dyn, levels=levels,
+                                        use_pallas=False)
+        st_fus, o_fus = riesz_mode.step(st_fus, chw, dyn, levels=levels,
+                                        use_pallas=None)
+        d = np.abs(np.asarray(o_ref).astype(np.int16)
+                   - np.asarray(o_fus).astype(np.int16))
+        assert d.max() <= 1, f"max diff {d.max()} LSB"
