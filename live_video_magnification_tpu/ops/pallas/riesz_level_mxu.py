@@ -11,12 +11,19 @@ formulation as riesz_amplify_mxu), and the amplify rotation (:129-144):
 
 vs the split form's ~36 HBM plane-passes per level (XLA front writes
 amplitude/wc/ws + 10 state planes, the blur kernel re-reads 6), this kernel
-moves 16+3 reads + 11 writes. The front is recomputed on the 6-row halo
-(12/TILE redundancy) so the blur inputs exist in VMEM at full halo extent;
-reflect-101 padding of the INPUTS equals padding of the products because
-every front op is pointwise in (row, col). cur lp/r/i are ALSO fed as
-lane-aligned BlockSpec planes for the element-wise amplify (Mosaic slices
-must start lane-aligned; the padded strips sit at a +6 column offset).
+moves 16+3 reads + 11 writes. The front is recomputed on the halo (6 rows
+AND the 256-wide column slab per 128-lane output block: ~3x redundancy on
+~50 cheap pointwise flops/px); reflect-101 padding of the INPUTS equals
+padding of the products because every front op is pointwise in (row, col).
+cur lp/r/i are ALSO fed as lane-aligned BlockSpec planes for the
+element-wise amplify (Mosaic slices must start lane-aligned; the padded
+strips sit at a +6 column offset). State outputs are written in PADDED
+column coordinates (width wp) and the host slices the 6-col halo off.
+
+The grid is 2-D (row tiles x column blocks): a single-axis grid with the
+column loop unrolled in-kernel compiled at 1080p but killed the axon
+relay's compile helper at 4K width (30 unrolled blocks); per-block DMA
+slabs keep the program small at any width.
 """
 
 from __future__ import annotations
@@ -39,8 +46,9 @@ from live_video_magnification_tpu.ops.pallas.riesz_phase_fused import _acos
 
 _LANES = 128
 _HALO = 6
-_TILE = 32
-_STRIP = _TILE + 2 * _HALO + 4   # = 48, 8-row aligned
+_TILE = 64
+_STRIP = _TILE + 2 * _HALO + 4   # = 80, 8-row aligned
+_JBLK = 4                        # output blocks per grid step (slab 640 wide)
 _TAPS = [float(v) for v in AMPLITUDE_BLUR_KERNEL_1D]
 _N_STRIPS = 16  # cur(3) old(3) acc(2) lo(4) hi(4), all halo-padded
 
@@ -53,18 +61,18 @@ def _blur_bank() -> np.ndarray:
     return bank
 
 
-def _kernel(scal, *refs, n_blocks: int, bf16: bool, prec: str):
+def _kernel(scal, *refs, bf16: bool, prec: str):
     # refs: 16 hbm planes, bank, lp_a, rr_a, ri_a, 11 out refs,
-    #       16 strip scratch, 3 front scratch (amp, wcp, wsp), sems
+    #       16 slab scratch, sems
     hbm = refs[:_N_STRIPS]
     bank_ref = refs[_N_STRIPS]
     lp_a, rr_a, ri_a = refs[_N_STRIPS + 1 : _N_STRIPS + 4]
     outs = refs[_N_STRIPS + 4 : _N_STRIPS + 15]
     strips = refs[_N_STRIPS + 15 : 2 * _N_STRIPS + 15]
-    amp_s, wcp_s, wsp_s = refs[2 * _N_STRIPS + 15 : 2 * _N_STRIPS + 18]
-    sems = refs[2 * _N_STRIPS + 18]
+    sems = refs[2 * _N_STRIPS + 15]
 
     ti = pl.program_id(0)
+    tj = pl.program_id(1)
     b_lo = (scal[0, 0], scal[0, 1], scal[0, 2])
     a_lo = (scal[0, 3], scal[0, 4])
     b_hi = (scal[0, 5], scal[0, 6], scal[0, 7])
@@ -74,9 +82,12 @@ def _kernel(scal, *refs, n_blocks: int, bf16: bool, prec: str):
     threshold = scal[0, 12]
 
     copies = []
+    slab_w = _JBLK * _LANES + _LANES
     for k in range(_N_STRIPS):
         cp = pltpu.make_async_copy(
-            hbm[k].at[pl.ds(ti * _TILE, _STRIP), :], strips[k], sems.at[k]
+            hbm[k].at[pl.ds(ti * _TILE, _STRIP),
+                      pl.ds(tj * _JBLK * _LANES, slab_w)],
+            strips[k], sems.at[k]
         )
         cp.start()
         copies.append(cp)
@@ -121,23 +132,24 @@ def _kernel(scal, *refs, n_blocks: int, bf16: bool, prec: str):
     lo_res_c, lo_res_s, lo_out = df2(*st[2:6], b_lo, a_lo)
     hi_res_c, hi_res_s, hi_out = df2(*st[6:10], b_hi, a_hi)
 
-    amp_s[...] = amplitude
-    wcp_s[...] = (hi_res_c - lo_res_c) * amplitude
-    wsp_s[...] = (hi_res_s - lo_res_s) * amplitude
+    amp_sl = amplitude
+    wcp_sl = (hi_res_c - lo_res_c) * amplitude
+    wsp_sl = (hi_res_s - lo_res_s) * amplitude
 
-    # state outputs: interior rows, FULL padded width (a 6-offset lane slice
-    # would need a relayout; the host slices the 6-col halo off instead —
-    # ~3% extra write bytes)
+    # state outputs: interior rows, PADDED column coordinates — this step's
+    # _JBLK*128-lane slice is the slab's leading columns (the host slices the
+    # 6-col halo off the assembled array)
     rows = slice(_HALO, _HALO + _TILE)
-    outs[1][...] = acc_c[rows, :]
-    outs[2][...] = acc_s[rows, :]
+    wout = _JBLK * _LANES
+    outs[1][...] = acc_c[rows, :wout]
+    outs[2][...] = acc_s[rows, :wout]
     for k in range(4):
-        outs[3 + k][...] = lo_out[k][rows, :]
-        outs[7 + k][...] = hi_out[k][rows, :]
+        outs[3 + k][...] = lo_out[k][rows, :wout]
+        outs[7 + k][...] = hi_out[k][rows, :wout]
 
-    # ---- blurs + amplify per 128-lane block ----
-    for j in range(n_blocks):
-        bcols = slice(j * _LANES, j * _LANES + 2 * _LANES)
+    # ---- blur + amplify for the _JBLK 128-lane output blocks ----
+    for r in range(_JBLK):
+        bcols = slice(r * _LANES, r * _LANES + 2 * _LANES)
 
         def vert(src):
             acc = None
@@ -146,14 +158,14 @@ def _kernel(scal, *refs, n_blocks: int, bf16: bool, prec: str):
                 acc = t if acc is None else acc + t
             return acc
 
-        ba = _mxu_dot(vert(amp_s), bank_ref[:], bf16, prec)
-        bc = _mxu_dot(vert(wcp_s), bank_ref[:], bf16, prec)
-        bs = _mxu_dot(vert(wsp_s), bank_ref[:], bf16, prec)
+        ba = _mxu_dot(vert(amp_sl), bank_ref[:], bf16, prec)
+        bc = _mxu_dot(vert(wcp_sl), bank_ref[:], bf16, prec)
+        bs = _mxu_dot(vert(wsp_sl), bank_ref[:], bf16, prec)
         nc = bc / ba
         ns = bs / ba
         mag = jnp.sqrt(nc * nc + ns * ns)
         mag2 = jnp.minimum(mag * alpha, threshold)
-        ocols = slice(j * _LANES, (j + 1) * _LANES)
+        ocols = slice(r * _LANES, (r + 1) * _LANES)
         pair = (rr_a[:, ocols] * nc + ri_a[:, ocols] * ns) / mag
         pair = jnp.where(jnp.isnan(pair), 0.0, pair)
         outs[0][:, ocols] = (lp_a[:, ocols] * jnp.cos(mag2)
@@ -165,32 +177,29 @@ def _kernel(scal, *refs, n_blocks: int, bf16: bool, prec: str):
 )
 def _run(scal, planes16, lp_a, rr_a, ri_a, interpret=False, bf16=False,
          prec="highest"):
-    hp, wp = planes16[0].shape
-    h_out, w_pad = lp_a.shape
+    h_out, w_blocks = lp_a.shape      # w_blocks = nb_pad * 128
     n_tiles = h_out // _TILE
-    n_blocks = w_pad // _LANES
-    kernel = functools.partial(_kernel, n_blocks=n_blocks, bf16=bf16, prec=prec)
+    nj = w_blocks // (_JBLK * _LANES)
+    kernel = functools.partial(_kernel, bf16=bf16, prec=prec)
     bank = jnp.asarray(_blur_bank())
-    strip = pl.BlockSpec((_TILE, w_pad), lambda i: (i, 0))
-    strip_wp = pl.BlockSpec((_TILE, wp), lambda i: (i, 0))
-    sd = jax.ShapeDtypeStruct((h_out, w_pad), jnp.float32)
-    sd_wp = jax.ShapeDtypeStruct((h_out, wp), jnp.float32)
+    blk = pl.BlockSpec((_TILE, _JBLK * _LANES), lambda i, j: (i, j))
+    sd = jax.ShapeDtypeStruct((h_out, w_blocks), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((1, 16), lambda i: (0, 0),
+        grid=(n_tiles, nj),
+        in_specs=[pl.BlockSpec((1, 16), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * _N_STRIPS
-        + [pl.BlockSpec((2 * _LANES, _LANES), lambda i: (0, 0))]
-        + [strip] * 3,
-        out_specs=(strip,) + (strip_wp,) * 10,
-        scratch_shapes=[pltpu.VMEM((_STRIP, wp), jnp.float32)] * _N_STRIPS
-        + [pltpu.VMEM((_STRIP, wp), jnp.float32)] * 3
+        + [pl.BlockSpec((2 * _LANES, _LANES), lambda i, j: (0, 0))]
+        + [blk] * 3,
+        out_specs=(blk,) * 11,
+        scratch_shapes=[pltpu.VMEM((_STRIP, _JBLK * _LANES + _LANES),
+                                   jnp.float32)] * _N_STRIPS
         + [pltpu.SemaphoreType.DMA((_N_STRIPS,))],
     )
     return pl.pallas_call(
         kernel,
-        out_shape=(sd,) + (sd_wp,) * 10,
+        out_shape=(sd,) * 11,
         grid_spec=grid_spec,
         interpret=interpret,
     )(scal, *planes16, bank, lp_a, rr_a, ri_a)
@@ -211,8 +220,10 @@ def riesz_level_mxu(
     h, w = cur_lp.shape
     h_out = -(-h // _TILE) * _TILE
     n_blocks = -(-w // _LANES)
-    w_pad = n_blocks * _LANES
-    wp = (n_blocks + 1) * _LANES
+    # pad the block count so (n_blocks + 1 halo block) fills _JBLK groups
+    nb_pad = -(-(n_blocks + 1) // _JBLK) * _JBLK
+    w_blocks = nb_pad * _LANES
+    wp = w_blocks + _LANES               # DMA slabs reach 512*tj + 640
 
     def prep(x):
         p = jnp.pad(x, ((_HALO, _HALO), (_HALO, _HALO)), mode="reflect")
@@ -224,7 +235,7 @@ def riesz_level_mxu(
         )
 
     def prep_ew(x):
-        return jnp.pad(x, ((0, h_out - h), (0, w_pad - w)), mode="edge")
+        return jnp.pad(x, ((0, h_out - h), (0, w_blocks - w)), mode="edge")
 
     planes16 = tuple(
         prep(x) for x in (cur_lp, cur_r, cur_i, old_lp, old_r, old_i,

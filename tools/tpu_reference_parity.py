@@ -84,15 +84,20 @@ def main() -> int:
                                       co_high=1.4, levels=3, framerate=FPS)),
     }
 
-    fast_modes = [("f32", "f32")]
+    # fast mode == the shipping --fast pairing: bf16 operands + the MXU blur
+    # tail (round 4, R4_CAMPAIGN.json)
+    fast_modes = [("f32", {"LVMT_MXU_DTYPE": "f32"})]
     if "--fast-too" in sys.argv:
-        fast_modes.append(("bf16", "bf16"))
+        fast_modes.append(("bf16", {"LVMT_MXU_DTYPE": "bf16",
+                                    "LVMT_TAIL": "mxu"}))
 
     for mode, (ref_kw, mag) in configs.items():
         frames = realistic_clip(t, h, w, FPS, seed=31)
         ref = run_reference(binary, mode, frames, fps=FPS, **ref_kw)
-        for label, dtype in fast_modes:
-            _os.environ["LVMT_MXU_DTYPE"] = dtype
+        for label, env in fast_modes:
+            _os.environ.pop("LVMT_TAIL", None)
+            for k, v in env.items():
+                _os.environ[k] = v
             chain = MagnificationChain()
             cfg = ProcessorConfig(magnification=mag)
             worst, total = 99.0, 0.0
@@ -112,6 +117,7 @@ def main() -> int:
             print(f"{key}: worst {worst:.2f} dB, mean {total/(t-1):.2f} dB "
                   f"({'PASS' if worst > 40 else 'FAIL'})", flush=True)
         _os.environ["LVMT_MXU_DTYPE"] = "f32"
+        _os.environ.pop("LVMT_TAIL", None)
 
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
