@@ -46,12 +46,14 @@ def _apply_fast_mode(args) -> None:
     """--fast sets LVMT_MXU_DTYPE=bf16 + LVMT_TAIL=mxu BEFORE any chain is
     built (both flags are resolved into the jit-cache key at chain build
     time). bf16 + the MXU-banded blur tail is the measured best fast-mode
-    pairing: 8.42 vs 8.74 ms/4K-frame (R4_CAMPAIGN.json); an explicit
-    LVMT_TAIL in the environment still wins."""
+    pairing: 8.42 vs 8.74 ms/4K-frame (R4_CAMPAIGN.json); explicit env
+    settings of either flag still win."""
     import os
 
     if getattr(args, "fast", False):
-        os.environ["LVMT_MXU_DTYPE"] = "bf16"
+        # setdefault for BOTH: an explicit env setting (e.g. a hybrid A/B)
+        # always wins over the flag's default pairing
+        os.environ.setdefault("LVMT_MXU_DTYPE", "bf16")
         os.environ.setdefault("LVMT_TAIL", "mxu")
 
 
@@ -269,8 +271,6 @@ def _concat_resumed_parts(output: str, fps: float | None = None) -> None:
     import json as _json
     import re
     import shutil
-    import subprocess
-    import tempfile
 
     base, ext = os.path.splitext(output)
     out_dir = os.path.dirname(output) or "."
@@ -310,76 +310,33 @@ def _concat_resumed_parts(output: str, fps: float | None = None) -> None:
     parts = [os.path.join(out_dir, n) for n in listed]
     ordered = [output] + parts
 
-    def finalize(tmp_out: str) -> None:
-        os.replace(tmp_out, output)
-        for p in parts:
-            os.unlink(p)
-        os.unlink(mpath)
-        print(f"auto-concatenated {len(ordered)} parts into {output}",
-              file=sys.stderr)
+    # One shared merge implementation (io/video.py concat_videos): ffmpeg
+    # stream copy when available, cv2 re-encode fallback otherwise — this
+    # function only owns the manifest bookkeeping around it.
+    from live_video_magnification_tpu.io.video import concat_videos, video_info
 
-    if shutil.which("ffmpeg") is not None:
-        tmp_fd, tmp_out = tempfile.mkstemp(suffix=ext, dir=out_dir)
-        os.close(tmp_fd)
-        list_fd, list_path = tempfile.mkstemp(suffix=".txt")
-        try:
-            with os.fdopen(list_fd, "w") as f:
-                for p in ordered:
-                    escaped = os.path.abspath(p).replace("'", "'\\''")
-                    f.write(f"file '{escaped}'\n")
-            proc = subprocess.run(
-                ["ffmpeg", "-y", "-f", "concat", "-safe", "0", "-i", list_path,
-                 "-c", "copy", tmp_out],
-                capture_output=True, text=True, timeout=600,
-            )
-            if proc.returncode != 0:
-                print(f"ffmpeg concat failed ({proc.stderr.strip()[-200:]}) — "
-                      "kept the part files", file=sys.stderr)
-                os.unlink(tmp_out)
-                return
-            finalize(tmp_out)
-        except Exception as e:
-            print(f"concat skipped ({e}); part files kept", file=sys.stderr)
-            if os.path.exists(tmp_out):
-                os.unlink(tmp_out)
-        finally:
-            if os.path.exists(list_path):
-                os.unlink(list_path)
-        return
-
-    # No ffmpeg in the image: cv2 re-encode fallback so the user still ends up
-    # with ONE playable file (VERDICT round-3 item 7).
-    from live_video_magnification_tpu.io.video import (
-        VideoWriterStream,
-        iter_video,
-        video_info,
-    )
-
-    tmp_out = os.path.join(out_dir, f".{os.path.basename(base)}.concat{ext}")
-    try:
-        if fps is None:
+    had_ffmpeg = shutil.which("ffmpeg") is not None
+    if fps is None:
+        try:  # only the cv2 re-encode fallback actually consumes fps
             fps = video_info(output)[3] or 30.0
-        wtr = VideoWriterStream(tmp_out, fps)
-        for p in ordered:
-            for frame in iter_video(p):
-                wtr.write_chunk(frame[None] if frame.ndim == 3
-                                else frame[None, ..., None])
-        final = wtr.close()
-        if wtr.frames_written == 0:
-            raise IOError("re-encode produced no frames")
-        if final != tmp_out:  # writer fell back to another container
-            os.unlink(output)
-            output = os.path.splitext(output)[0] + os.path.splitext(final)[1]
-            tmp_out = final
+        except Exception:
+            fps = 30.0
+    try:
+        final = concat_videos(ordered, output, fps)
+    except Exception as e:
+        print(f"concat failed ({e}) — kept {len(ordered)} part files; "
+              "concatenate them with ffmpeg's concat demuxer", file=sys.stderr)
+        return
+    for p in parts:
+        os.unlink(p)
+    if final != output and os.path.exists(output):
+        os.unlink(output)  # re-encode switched containers; old first segment
+    os.unlink(mpath)
+    if not had_ffmpeg:
         print("ffmpeg not found — re-encoded the parts with cv2 instead",
               file=sys.stderr)
-        finalize(tmp_out)
-    except Exception as e:
-        print(f"ffmpeg not found and cv2 re-encode failed ({e}) — kept "
-              f"{len(ordered)} part files; concatenate them with ffmpeg's "
-              "concat demuxer", file=sys.stderr)
-        if os.path.exists(tmp_out):
-            os.unlink(tmp_out)
+    print(f"auto-concatenated {len(ordered)} parts into {final}",
+          file=sys.stderr)
 
 
 def cmd_live(args) -> int:

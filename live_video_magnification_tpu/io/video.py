@@ -154,12 +154,18 @@ def concat_videos(paths, output: str, fps: float) -> str:
                 for p in paths:
                     escaped = os.path.abspath(p).replace("'", "'\\''")
                     f.write(f"file '{escaped}'\n")
-            proc = subprocess.run(
-                ["ffmpeg", "-y", "-f", "concat", "-safe", "0", "-i", list_path,
-                 "-c", "copy", tmp_out],
-                capture_output=True, text=True, timeout=600,
-            )
-            if proc.returncode == 0:
+            try:
+                proc = subprocess.run(
+                    ["ffmpeg", "-y", "-f", "concat", "-safe", "0", "-i",
+                     list_path, "-c", "copy", tmp_out],
+                    capture_output=True, text=True, timeout=600,
+                )
+                ok = proc.returncode == 0
+            except (subprocess.SubprocessError, OSError):
+                # TimeoutExpired / exec failure: fall through to the cv2
+                # re-encode instead of aborting after all compute is done
+                ok = False
+            if ok:
                 os.replace(tmp_out, output)
                 return output
             os.unlink(tmp_out)  # stream copy failed; fall through to re-encode

@@ -88,7 +88,7 @@ class _StaticKey(NamedTuple):
     tail_mode: str = "jnp"
     mxu_dtype: str = "f32"
     mxu_precision: str = "highest"
-    conv9_variant: str = "dense"
+    conv9_variant: str = "auto"  # must match _conv9_variant's env default
 
 
 class ChainStep(NamedTuple):
@@ -279,7 +279,7 @@ class MagnificationChain:
             os.environ.get("LVMT_TAIL", "jnp"),
             os.environ.get("LVMT_MXU_DTYPE", "f32"),
             os.environ.get("LVMT_MXU_PRECISION", "highest").lower(),
-            os.environ.get("LVMT_CONV9", "dense"),
+            os.environ.get("LVMT_CONV9", "auto"),
         )
 
     def process(self, frame_u8_hwc, cfg: ProcessorConfig):

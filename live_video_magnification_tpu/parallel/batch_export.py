@@ -66,6 +66,7 @@ class DistributedClipExporter:
         axis = mesh.axis_names[0]
         self._frames_sharding = NamedSharding(mesh, P(axis))
         repl = NamedSharding(mesh, P())
+        self._repl = repl
         state_sh = jax.tree.map(lambda _: repl, self.proc.state)
         self._sharded_chunk = jax.jit(
             self.proc._chunk_raw,
@@ -74,8 +75,16 @@ class DistributedClipExporter:
                            (self._frames_sharding, self._frames_sharding)),
             donate_argnums=(0,),
         )
-        # the final partial chunk runs the SAME clip fn unsharded
-        self._plain_chunk = jax.jit(self.proc._chunk_raw, donate_argnums=(0,))
+        # The final partial chunk runs the SAME clip fn with the frames
+        # REPLICATED over the same global mesh — a plain jit would place the
+        # host-local array on this host's devices only and fail against the
+        # mesh-committed carry state on multi-host (code-review round 4).
+        self._plain_chunk = jax.jit(
+            self.proc._chunk_raw,
+            in_shardings=(state_sh, repl, None),
+            out_shardings=(state_sh, (repl, repl)),
+            donate_argnums=(0,),
+        )
         self.state = jax.device_put(self.proc.state, state_sh)
         self.cursor = 0
 
@@ -108,10 +117,16 @@ class DistributedClipExporter:
         addressable shards are materialized on this host).
         """
         if chunk_len % self.n_shards != 0:
-            # partial tail: unsharded run of the same clip fn (bit-compatible
-            # carry; every process holds the full remainder)
-            self.state, (outs, pre) = self._plain_chunk(
-                self.state, jnp.asarray(frames_u8_local), self._dyn)
+            # partial tail: replicated run of the same clip fn on the SAME
+            # mesh (bit-compatible carry; every process holds and supplies
+            # the full remainder)
+            if jax.process_count() == 1:
+                garr = jax.device_put(jnp.asarray(frames_u8_local), self._repl)
+            else:
+                garr = jax.make_array_from_process_local_data(
+                    self._repl, frames_u8_local, frames_u8_local.shape)
+            self.state, (outs, pre) = self._plain_chunk(self.state, garr,
+                                                        self._dyn)
             self.cursor += chunk_len
             return np.asarray(outs), np.asarray(pre)
         if jax.process_count() == 1:
@@ -176,14 +191,18 @@ def export_video_distributed(
     rank = jax.process_index()
 
     part_paths: List[Tuple[int, int, str]] = []  # (chunk_index, shard, path)
+    expected: List[Tuple[int, int, str]] = []    # ALL parts this run produces
     ci = 0
     pos = start
     while pos < end:
         clen = min(chunk, end - pos)
         if clen % n == 0:
             rows = exp.local_rows(clen)
+            for sh in range(n):
+                expected.append((ci, sh, f"{base}.c{ci:04d}s{sh:03d}{ext}"))
         else:  # partial tail: every process decodes + processes the remainder
             rows = [(0, 0, clen)]
+            expected.append((ci, 0, f"{base}.c{ci:04d}s{0:03d}{ext}"))
         frames = []
         for _sh, a, b in rows:
             frames.extend(
@@ -208,28 +227,29 @@ def export_video_distributed(
         ci += 1
 
     if jax.process_count() > 1:
-        # all hosts must finish encoding before the coordinator concats; a
-        # cheap global barrier via a tiny collective
-        jax.block_until_ready(
-            jax.jit(lambda x: x + 1)(jnp.zeros((), jnp.int32)))
+        # all hosts must finish encoding before the coordinator concats:
+        # a REAL cross-process rendezvous (a local jit add synchronizes
+        # nothing — code-review round 4)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("lvmt_distributed_export_encode")
     if rank != 0:
         return part_paths[-1][2] if part_paths else output_path
 
-    # coordinator: collect every part in (chunk, shard) order. In a multi-host
-    # run the parts live on shared storage under the same naming scheme.
-    import glob
-    import re
-
-    pat = re.compile(re.escape(os.path.basename(base))
-                     + r"\.c(\d+)s(\d+)" + re.escape(ext) + r"$")
-    found = []
-    for p in glob.glob(f"{glob.escape(base)}.c*s*{ext}"):
-        m = pat.match(os.path.basename(p))
-        if m:
-            found.append((int(m.group(1)), int(m.group(2)), p))
-    found.sort()
-    final = concat_videos([p for _c, _s, p in found], output_path, out_fps)
+    # coordinator: concat exactly THIS RUN's expected parts, in (chunk,
+    # shard) order — never a glob, so stale parts from an older crashed run
+    # on the same output path can't be merged in (the cli resume concat has
+    # the same manifest rule). In a multi-host run the parts live on shared
+    # storage under the same deterministic names.
+    missing = [p for _c, _s, p in expected if not os.path.exists(p)]
+    if missing:
+        raise IOError(
+            f"distributed export: {len(missing)} expected part file(s) "
+            f"missing (first: {missing[0]}) — on multi-host, parts must land "
+            "on storage shared with the coordinator")
+    final = concat_videos([p for _c, _s, p in expected], output_path, out_fps)
     if not keep_parts:
-        for _c, _s, p in found:
-            os.unlink(p)
+        for _c, _s, p in expected:
+            if os.path.abspath(p) != os.path.abspath(final):
+                os.unlink(p)
     return final

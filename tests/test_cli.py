@@ -212,12 +212,13 @@ def test_magnify_fast_flag_sets_mxu_dtype(clip_path, tmp_path, monkeypatch):
     """--fast opts into the bf16 MXU stencils (no-op numerically on the CPU
     backend where the MXU kernels are gated off, but the env must be set
     before the chain builds)."""
-    # setenv (not delenv) so monkeypatch registers a teardown restore:
-    # cli.main mutates the real environment, and a leaked bf16 flag would
-    # flip every later pallas golden test into the fast mode.
-    monkeypatch.setenv("LVMT_MXU_DTYPE", "f32")
-    monkeypatch.setenv("LVMT_TAIL", "jnp")
-    monkeypatch.delenv("LVMT_TAIL", raising=False)
+    # setenv first so monkeypatch registers a teardown restore (cli.main
+    # mutates the real environment, and a leaked bf16 flag would flip every
+    # later pallas golden test into the fast mode), then delenv so --fast's
+    # defaults apply.
+    for var in ("LVMT_MXU_DTYPE", "LVMT_TAIL"):
+        monkeypatch.setenv(var, "sentinel")
+        monkeypatch.delenv(var)
     out = str(tmp_path / "fast.avi")
     assert cli.main(["magnify", clip_path, out, "--mode", "laplace",
                      "--chunk", "5", "--end", "6", "--fast"]) == 0
@@ -225,6 +226,12 @@ def test_magnify_fast_flag_sets_mxu_dtype(clip_path, tmp_path, monkeypatch):
     # the measured best fast-mode pairing includes the MXU blur tail
     assert os.environ.get("LVMT_TAIL") == "mxu"
     assert _read(out).shape[0] == 6
+    # explicit env settings win over the flag's defaults (code-review r4)
+    monkeypatch.setenv("LVMT_MXU_DTYPE", "hybrid")
+    monkeypatch.setenv("LVMT_TAIL", "jnp")
+    cli._apply_fast_mode(type("A", (), {"fast": True})())
+    assert os.environ["LVMT_MXU_DTYPE"] == "hybrid"
+    assert os.environ["LVMT_TAIL"] == "jnp"
 
 
 def test_live_playback_fps_flag_wires_to_controller(clip_path, monkeypatch):

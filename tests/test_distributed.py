@@ -186,3 +186,22 @@ def test_export_video_distributed_end_to_end(tmp_path):
     # codec noise, not correctness.
     assert d.max() <= 48, f"max decoded diff {d.max()}"
     assert np.mean(d) < 4.0
+
+
+def test_export_video_distributed_ignores_stale_parts(tmp_path):
+    """A stale .cNNNsNNN part from an older crashed run on the same output
+    path must never be merged (code-review round 4: concat uses this run's
+    expected part list, not a glob)."""
+    from live_video_magnification_tpu.io.video import read_video
+    from live_video_magnification_tpu.parallel.batch_export import (
+        export_video_distributed,
+    )
+
+    clip_path = _tiny_clip(tmp_path, t=8)
+    out = str(tmp_path / "out.avi")
+    stale = tmp_path / "out.c0099s000.avi"
+    stale.write_bytes(b"STALE")
+    final = export_video_distributed(clip_path, out, _phase_cfg(), chunk=8)
+    got, _ = read_video(final)
+    assert got.shape[0] == 8          # only this run's frames
+    assert stale.read_bytes() == b"STALE"  # untouched
