@@ -81,26 +81,50 @@ def _kernel(scal, *refs, bf16: bool, prec: str):
     alpha = scal[0, 11]
     threshold = scal[0, 12]
 
-    copies = []
+    # ---- double-buffered DMA: start step s+1's 16 slab copies before
+    # computing step s (the wait-all-then-compute form serialized the 16
+    # copies against compute and lost 18.0 vs 12.1 ms — docs/ROOFLINE.md)
     slab_w = _JBLK * _LANES + _LANES
-    for k in range(_N_STRIPS):
-        cp = pltpu.make_async_copy(
-            hbm[k].at[pl.ds(ti * _TILE, _STRIP),
-                      pl.ds(tj * _JBLK * _LANES, slab_w)],
-            strips[k], sems.at[k]
-        )
-        cp.start()
-        copies.append(cp)
-    for cp in copies:
+    nj = pl.num_programs(1)
+    nsteps = pl.num_programs(0) * nj
+    step = ti * nj + tj
+    buf = jax.lax.rem(step, 2)
+
+    def copies_for(s, b):
+        i = jax.lax.div(s, nj)
+        j = jax.lax.rem(s, nj)
+        return [
+            pltpu.make_async_copy(
+                hbm[k].at[pl.ds(i * _TILE, _STRIP),
+                          pl.ds(j * _JBLK * _LANES, slab_w)],
+                strips[k].at[b], sems.at[b, k],
+            )
+            for k in range(_N_STRIPS)
+        ]
+
+    @pl.when(step == 0)
+    def _prologue():
+        for cp in copies_for(step, buf):
+            cp.start()
+
+    @pl.when(step + 1 < nsteps)
+    def _prefetch_next():
+        for cp in copies_for(step + 1, 1 - buf):
+            cp.start()
+
+    for cp in copies_for(step, buf):
         cp.wait()
+
+    def rd(k):
+        return strips[k][buf]
 
     # ---- front: pointwise on the whole haloed strip ----
     do_rebuild = rebuild > 0.5
-    c_lp, c_r, c_i = strips[0][...], strips[1][...], strips[2][...]
-    o_lp = jnp.where(do_rebuild, c_lp, strips[3][...])
-    o_r = jnp.where(do_rebuild, c_r, strips[4][...])
-    o_i = jnp.where(do_rebuild, c_i, strips[5][...])
-    st = [jnp.where(do_rebuild, 0.0, strips[6 + k][...]) for k in range(10)]
+    c_lp, c_r, c_i = rd(0), rd(1), rd(2)
+    o_lp = jnp.where(do_rebuild, c_lp, rd(3))
+    o_r = jnp.where(do_rebuild, c_r, rd(4))
+    o_i = jnp.where(do_rebuild, c_i, rd(5))
+    st = [jnp.where(do_rebuild, 0.0, rd(6 + k)) for k in range(10)]
 
     q_real = c_lp * o_lp + c_r * o_r + c_i * o_i
     qx = o_r * (-c_lp) + c_r * o_lp
@@ -193,9 +217,9 @@ def _run(scal, planes16, lp_a, rr_a, ri_a, interpret=False, bf16=False,
         + [pl.BlockSpec((2 * _LANES, _LANES), lambda i, j: (0, 0))]
         + [blk] * 3,
         out_specs=(blk,) * 11,
-        scratch_shapes=[pltpu.VMEM((_STRIP, _JBLK * _LANES + _LANES),
+        scratch_shapes=[pltpu.VMEM((2, _STRIP, _JBLK * _LANES + _LANES),
                                    jnp.float32)] * _N_STRIPS
-        + [pltpu.SemaphoreType.DMA((_N_STRIPS,))],
+        + [pltpu.SemaphoreType.DMA((2, _N_STRIPS))],
     )
     return pl.pallas_call(
         kernel,
