@@ -135,10 +135,6 @@ def cmd_magnify(args) -> int:
     cfg = _config_from_args(args, fps)
 
     if getattr(args, "distributed", False):
-        if split is not SplitMode.NONE or args.checkpoint:
-            print("--distributed does not combine with --split/--checkpoint "
-                  "yet; run without them", file=sys.stderr)
-            return 1
         from live_video_magnification_tpu.parallel import distributed
         from live_video_magnification_tpu.parallel.batch_export import (
             export_video_distributed,
@@ -149,6 +145,9 @@ def cmd_magnify(args) -> int:
         final = export_video_distributed(
             args.input, args.output, cfg, chunk=args.chunk,
             file_fps=args.file_fps, start=args.start, end=args.end,
+            split=split, labels=args.labels,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
         )
         dt = time.monotonic() - t0
         n_frames = (args.end if args.end is not None else total) - args.start

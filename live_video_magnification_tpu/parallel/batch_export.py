@@ -85,8 +85,25 @@ class DistributedClipExporter:
             out_shardings=(state_sh, (repl, repl)),
             donate_argnums=(0,),
         )
+        self._state_sh = state_sh
         self.state = jax.device_put(self.proc.state, state_sh)
         self.cursor = 0
+
+    # -- checkpoint / resume (interchangeable with ClipProcessor's) ------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        """Same .npz format + config digest as ClipProcessor: a distributed
+        checkpoint resumes a sequential export and vice versa (the carried
+        state pytree is identical)."""
+        self.proc.state = jax.tree.map(np.asarray, self.state)
+        self.proc.cursor = self.cursor
+        self.proc.save_checkpoint(path)
+
+    def load_checkpoint(self, path: str) -> int:
+        cursor = self.proc.load_checkpoint(path)
+        self.state = jax.device_put(self.proc.state, self._state_sh)
+        self.cursor = cursor
+        return cursor
 
     # -- host-side shard bookkeeping ------------------------------------------------------------
 
@@ -158,6 +175,10 @@ def export_video_distributed(
     start: int = 0,
     end: Optional[int] = None,
     keep_parts: bool = False,
+    split=None,                 # SplitMode; None/NONE = processed only
+    labels: bool = False,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
 ) -> str:
     """The config-5 program, single entry point (every process calls this with
     the same arguments; the coordinator returns the final path).
@@ -165,13 +186,23 @@ def export_video_distributed(
     Decode→shard→process→encode per chunk; part files named
     `<out>.c<chunk>s<shard><ext>` so the coordinator's concat order —
     (chunk, shard) — is the global frame order. Returns the final output path
-    on process 0 (other processes return their last part path)."""
+    on process 0 (other processes return their last part path).
+
+    split/labels compose original|processed panes exactly like the GUI export
+    (Exporter.cpp:53-88 semantics). checkpoint_path enables resume: the
+    checkpoint format is ClipProcessor's (config-digest guarded), so a
+    distributed export can resume a sequential one and vice versa; completed
+    chunks' part files are reused, only the remainder is processed."""
+    from live_video_magnification_tpu.export.exporter import compose
+    from live_video_magnification_tpu.export.types import SplitMode
     from live_video_magnification_tpu.io.video import (
         concat_videos,
         iter_video,
         video_info,
         VideoWriterStream,
     )
+
+    split = split or SplitMode.NONE
 
     total, h, w, fps = video_info(input_path)
     probe = next(iter_video(input_path, start, start + 1), None)
@@ -190,6 +221,10 @@ def export_video_distributed(
     base, ext = os.path.splitext(output_path)
     rank = jax.process_index()
 
+    resume_at = start
+    if checkpoint_path and os.path.exists(checkpoint_path + ".npz"):
+        resume_at = start + exp.load_checkpoint(checkpoint_path)
+
     part_paths: List[Tuple[int, int, str]] = []  # (chunk_index, shard, path)
     expected: List[Tuple[int, int, str]] = []    # ALL parts this run produces
     ci = 0
@@ -203,6 +238,13 @@ def export_video_distributed(
         else:  # partial tail: every process decodes + processes the remainder
             rows = [(0, 0, clen)]
             expected.append((ci, 0, f"{base}.c{ci:04d}s{0:03d}{ext}"))
+        if pos + clen <= resume_at:
+            # completed before the checkpoint: the part files already exist
+            # (chunks checkpoint only at whole-chunk boundaries, so the
+            # resume point always aligns); reuse them, skip the compute
+            pos += clen
+            ci += 1
+            continue
         frames = []
         for _sh, a, b in rows:
             frames.extend(
@@ -211,20 +253,31 @@ def export_video_distributed(
             )
         local = np.ascontiguousarray(
             np.moveaxis(np.stack(frames), -1, 1))  # [T_local, C, H, W]
-        processed, _orig = exp.process_chunk(local, clen)
+        processed, original = exp.process_chunk(local, clen)
         # encode this host's segments, one part per (chunk, shard)
         off = 0
         for sh, a, b in rows:
             seg = processed[off : off + (b - a)]
+            orig_seg = original[off : off + (b - a)]
             off += b - a
             if clen % n != 0 and rank != 0:
                 continue  # the replicated tail chunk is written once
+            out_hwc = np.moveaxis(seg, 1, -1)
+            if split is not SplitMode.NONE:
+                orig_hwc = np.moveaxis(orig_seg, 1, -1)
+                out_hwc = np.stack([
+                    compose(orig_hwc[i], out_hwc[i], split, labels)
+                    for i in range(out_hwc.shape[0])
+                ])
             ppath = f"{base}.c{ci:04d}s{sh:03d}{ext}"
             wtr = VideoWriterStream(ppath, out_fps)
-            wtr.write_chunk(np.moveaxis(seg, 1, -1))
+            wtr.write_chunk(out_hwc)
             part_paths.append((ci, sh, wtr.close()))
         pos += clen
         ci += 1
+        if (checkpoint_path and checkpoint_every and rank == 0
+                and (exp.cursor % checkpoint_every) < clen):
+            exp.save_checkpoint(checkpoint_path)
 
     if jax.process_count() > 1:
         # all hosts must finish encoding before the coordinator concats:

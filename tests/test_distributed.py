@@ -205,3 +205,40 @@ def test_export_video_distributed_ignores_stale_parts(tmp_path):
     got, _ = read_video(final)
     assert got.shape[0] == 8          # only this run's frames
     assert stale.read_bytes() == b"STALE"  # untouched
+
+
+def test_export_video_distributed_split_and_resume(tmp_path):
+    """Round-4 follow-up: --split composition and checkpoint/resume work
+    through the distributed program; the checkpoint format is ClipProcessor's
+    (sequential<->distributed interchangeable), completed chunks' parts are
+    reused on resume."""
+    from live_video_magnification_tpu.export.types import SplitMode
+    from live_video_magnification_tpu.io.video import read_video
+    from live_video_magnification_tpu.parallel.batch_export import (
+        export_video_distributed,
+    )
+
+    clip_path = _tiny_clip(tmp_path, t=16)
+    cfg = _phase_cfg()
+
+    # split: panes compose like the exporter (width doubles, even dims)
+    out_s = str(tmp_path / "split.avi")
+    final = export_video_distributed(clip_path, out_s, cfg, chunk=8,
+                                     split=SplitMode.LEFT_RIGHT, labels=True)
+    got, _ = read_video(final)
+    assert got.shape[0] == 16
+    assert got.shape[2] == 160  # 2x80 even-cropped panes
+
+    # resume: process [0, 8) with a checkpoint, then the rest; the first
+    # chunk's parts are reused, the output covers all 16 frames
+    out_r = str(tmp_path / "resume.avi")
+    ck = str(tmp_path / "ck")
+    export_video_distributed(clip_path, out_r, cfg, chunk=8, end=8,
+                             checkpoint_path=ck, checkpoint_every=8,
+                             keep_parts=True)
+    assert (tmp_path / "ck.npz").exists()
+    # the run above concatenated chunk 0; its parts were kept for the resume
+    final = export_video_distributed(clip_path, out_r, cfg, chunk=8,
+                                     checkpoint_path=ck)
+    got, _ = read_video(final)
+    assert got.shape[0] == 16
