@@ -707,6 +707,14 @@ class MainWindow:
         self.root.geometry("1280x760")
         self.root.protocol("WM_DELETE_WINDOW", self.on_close)
 
+        # design tokens: follow the OS appearance until the user pins a
+        # scheme via the toolbar toggle (reference Theme.hpp:64-68)
+        from live_video_magnification_tpu import theme as _theme
+
+        self._theme = _theme
+        self._theme_state = _theme.ThemeState()
+        self.palette = _theme.apply(self.root, self._theme_state.scheme)
+
         # --- toolbar -------------------------------------------------------------------------
         bar = ttk.Frame(self.root)
         bar.pack(side="top", fill="x")
@@ -716,6 +724,7 @@ class MainWindow:
         ttk.Button(bar, text="Export…", command=self.on_export).pack(side="left")
         self.record_btn = ttk.Button(bar, text="Record", command=self.on_record)
         self.record_btn.pack(side="left")
+        ttk.Button(bar, text="Theme", command=self.on_theme_toggle).pack(side="right")
         self.view_var = tk.StringVar(value="processed")
         view = ttk.Combobox(bar, textvariable=self.view_var, state="readonly", width=14,
                             values=[m.value for m in ViewMode])
@@ -725,7 +734,7 @@ class MainWindow:
         # --- center: canvas + panel ----------------------------------------------------------
         center = ttk.Frame(self.root)
         center.pack(fill="both", expand=True)
-        self.canvas = tk.Canvas(center, bg="#101418", highlightthickness=0)
+        self.canvas = tk.Canvas(center, bg=self.palette.bg, highlightthickness=0)
         self.canvas.pack(side="left", fill="both", expand=True)
         self.canvas.bind("<ButtonPress-1>", self.on_roi_press)
         self.canvas.bind("<B1-Motion>", self.on_roi_drag)
@@ -1211,7 +1220,7 @@ class MainWindow:
         if self._roi_rect_id is not None:
             self.canvas.delete(self._roi_rect_id)
         self._roi_rect_id = self.canvas.create_rectangle(
-            *self._roi_start, e.x, e.y, outline="#4fc3f7")
+            *self._roi_start, e.x, e.y, outline=self.palette.accent)
 
     def on_roi_release(self, e):
         if self._roi_start is None:
@@ -1227,6 +1236,10 @@ class MainWindow:
             self.controller.set_roi(*rect)
 
     # --- timers --------------------------------------------------------------------------------
+
+    def on_theme_toggle(self):
+        self.palette = self._theme.apply(self.root, self._theme_state.toggle())
+        self.canvas.configure(bg=self.palette.bg)
 
     def _set_view(self):
         mode = ViewMode(self.view_var.get())

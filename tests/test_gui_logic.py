@@ -341,3 +341,75 @@ def test_display_fit_letterbox_math():
     assert timeline_fraction(0, 100) == 0.0
     assert timeline_fraction(99, 100) == 1.0
     assert timeline_fraction(0, 1) == 0.0  # single-frame clip
+
+
+# ----------------------------------------------------------------- theming
+
+def test_theme_palettes_match_reference_tokens():
+    """The published token values of Theme.cpp:227-261, verbatim (config
+    constants the reference ships, like the MagnificationParamsUi defaults)."""
+    from live_video_magnification_tpu import theme
+
+    d = theme.palette(theme.DARK)
+    assert (d.bg, d.accent, d.accent_ink) == ("#15110D", "#F4A23C", "#2A1505")
+    assert (d.ok, d.danger) == ("#8FCB8A", "#F2606B")
+    l = theme.palette(theme.LIGHT)
+    assert (l.bg, l.accent, l.accent_ink) == ("#EEF0F2", "#B8521C", "#FFFFFF")
+    # every token is a well-formed color and differs between schemes
+    import dataclasses
+
+    for f in dataclasses.fields(d):
+        dv, lv = getattr(d, f.name), getattr(l, f.name)
+        assert dv.startswith("#") and len(dv) == 7
+        assert lv.startswith("#") and len(lv) == 7
+
+
+def test_theme_mix_and_toggle():
+    from live_video_magnification_tpu import theme
+
+    assert theme.mix("#000000", "#FFFFFF", 0.0) == "#000000"
+    assert theme.mix("#000000", "#FFFFFF", 1.0) == "#FFFFFF"
+    assert theme.mix("#000000", "#FFFFFF", 0.5) == "#7F7F7F"
+    assert theme.mix("#000000", "#FFFFFF", 2.0) == "#FFFFFF"  # clamped
+    assert theme.toggled(theme.DARK) == theme.LIGHT
+    assert theme.toggled(theme.LIGHT) == theme.DARK
+
+
+def test_theme_scheme_resolution_and_pin():
+    """LVMT_THEME pin -> OS hints -> Dark fallback (Theme.hpp:61-68);
+    follow-the-OS until the user pins via toggle, nothing persisted."""
+    from live_video_magnification_tpu import theme
+
+    assert theme.resolve_scheme({}) == theme.DARK  # reference fallback
+    assert theme.resolve_scheme({"LVMT_THEME": "light"}) == theme.LIGHT
+    assert theme.resolve_scheme({"GTK_THEME": "Adwaita-dark"}) == theme.DARK
+    assert theme.resolve_scheme({"GTK_THEME": "Adwaita"}) == theme.LIGHT
+    assert theme.resolve_scheme({"COLORFGBG": "0;15"}) == theme.LIGHT
+    assert theme.resolve_scheme({"COLORFGBG": "15;0"}) == theme.DARK
+    # pin wins over hints
+    assert theme.resolve_scheme(
+        {"LVMT_THEME": "dark", "GTK_THEME": "Adwaita"}) == theme.DARK
+
+    st = theme.ThemeState(env={"GTK_THEME": "Adwaita"})
+    assert st.scheme == theme.LIGHT and st.following_system
+    assert st.toggle() == theme.DARK
+    assert st.scheme == theme.DARK and not st.following_system
+    assert st.toggle() == theme.LIGHT
+
+
+def test_theme_style_map_uses_tokens_consistently():
+    """Every ttk style derives from the palette (no hardcoded colors) and the
+    accent button uses accent_ink for legibility (Theme.cpp QSS semantics)."""
+    from live_video_magnification_tpu import theme
+
+    for scheme in (theme.DARK, theme.LIGHT):
+        p = theme.palette(scheme)
+        m = theme.style_map(p)
+        assert m["."]["background"] == p.surface
+        assert m["TEntry"]["fieldbackground"] == p.field
+        assert m["Accent.TButton"]["background"] == p.accent
+        assert m["Accent.TButton"]["foreground"] == p.accent_ink
+        assert m["Dim.TLabel"]["foreground"] == p.dim
+        w = theme.widget_defaults(p)
+        assert w["*Canvas.background"] == p.bg
+        assert w["*Listbox.selectBackground"] == p.accent
