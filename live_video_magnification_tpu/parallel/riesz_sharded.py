@@ -30,7 +30,6 @@ normalize/amplify :114-144), MagnifyCore.hpp:209-279 (step semantics).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import List, Tuple
 
 import jax
