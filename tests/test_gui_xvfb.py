@@ -229,3 +229,22 @@ def test_original_view_short_circuits_magnification(win):
     win._set_view()
     assert win.controller.config_snapshot().magnification.mode is not \
         MagnificationMode.NONE
+
+
+def test_theme_toggle_restyles_live_widgets(win):
+    """The toolbar Theme toggle re-applies the full token set to the live
+    window (reference Theme.cpp overrideScheme): the canvas ground and ttk
+    base style flip between the dark and light palettes."""
+    from live_video_magnification_tpu import theme
+
+    start = win._theme_state.scheme
+    start_bg = win.canvas.cget("background")
+    assert start_bg.upper() == theme.palette(start).bg.upper()
+    win.on_theme_toggle()
+    flipped = win._theme_state.scheme
+    assert flipped == theme.toggled(start)
+    assert win.canvas.cget("background").upper() == \
+        theme.palette(flipped).bg.upper()
+    assert not win._theme_state.following_system  # pinned by the toggle
+    win.on_theme_toggle()
+    assert win._theme_state.scheme == start
