@@ -181,3 +181,46 @@ def test_parallel_clip_equals_sequential_motion():
     _, par = motion_mode.process_clip_parallel(arr, dyn, levels=levels)
     d = np.abs(np.asarray(seq).astype(np.int16) - np.asarray(par).astype(np.int16))
     assert d.max() <= 1, f"max diff {d.max()} LSB"  # reassociated EMA rounding
+
+
+def test_chain_static_key_tracks_every_kernel_variant_flag(monkeypatch):
+    """Every kernel-variant env flag must key the chain jit cache with its
+    FULL value (round-4 code review: LVMT_CONV9's key default disagreed with
+    the kernel's 'auto' default, so unset->dense toggles would have served a
+    stale trace — the bug class CLAUDE.md documents)."""
+    from live_video_magnification_tpu.models.chain import MagnificationChain
+    from live_video_magnification_tpu.models.params import (
+        MagnificationMode,
+        MagnificationParams,
+        ProcessorConfig,
+    )
+
+    chain = MagnificationChain()
+    cfg = ProcessorConfig(magnification=MagnificationParams(
+        mode=MagnificationMode.PHASE, amplification=30.0, co_wavelength=40.0,
+        co_low=0.5, co_high=3.0, levels=2, framerate=30.0))
+
+    def key():
+        return chain.static_key(cfg, 48, 64, 3)
+
+    for var, kernel_default, others in [
+        ("LVMT_TAIL", "jnp", ["pallas", "mxu", "level"]),
+        ("LVMT_MXU_DTYPE", "f32", ["bf16", "hybrid", "hybrid-band"]),
+        ("LVMT_CONV9", "auto", ["dense", "svd"]),
+        ("LVMT_MXU_PRECISION", "highest", ["high", "default"]),
+    ]:
+        monkeypatch.delenv(var, raising=False)
+        unset_key = key()
+        seen = {unset_key}
+        for val in others:
+            monkeypatch.setenv(var, val)
+            k = key()
+            assert k not in seen, f"{var}={val} collides with a cached key"
+            seen.add(k)
+        # the kernel-side default value must map to the SAME key as unset
+        monkeypatch.setenv(var, kernel_default)
+        assert key() == unset_key, (
+            f"{var}={kernel_default} (the kernel default) must equal the "
+            "unset key — otherwise the key default and the kernel default "
+            "can disagree")
+        monkeypatch.delenv(var)
