@@ -242,3 +242,47 @@ def test_export_video_distributed_split_and_resume(tmp_path):
                                      checkpoint_path=ck)
     got, _ = read_video(final)
     assert got.shape[0] == 16
+
+
+def test_export_video_distributed_grayscale_roi_laplace(tmp_path):
+    """The distributed program with a non-trivial chain geometry (ROI crop +
+    1/2 downscale + grayscale + laplace): per-shard decode and the T-sharded
+    chain agree with the sequential ClipProcessor through the same config."""
+    import dataclasses
+
+    from live_video_magnification_tpu.export.batch import ClipProcessor
+    from live_video_magnification_tpu.io.video import read_video
+    from live_video_magnification_tpu.models.params import (
+        MagnificationMode,
+        MagnificationParams,
+        PreprocessParams,
+        ProcessorConfig,
+    )
+    from live_video_magnification_tpu.parallel.batch_export import (
+        DistributedClipExporter,
+    )
+
+    clip_path = _tiny_clip(tmp_path, t=8)
+    frames, _fps = read_video(clip_path)
+    tchw = np.ascontiguousarray(np.moveaxis(frames, -1, 1))
+    cfg = ProcessorConfig(
+        grayscale=True,
+        preprocess=PreprocessParams(downscale=2, roi_enabled=True,
+                                    roi_x=0.1, roi_y=0.1, roi_w=0.8,
+                                    roi_h=0.8),
+        magnification=MagnificationParams(
+            mode=MagnificationMode.LAPLACE, amplification=15.0,
+            co_wavelength=200.0, co_low=0.3, co_high=0.7, levels=2,
+            framerate=30.0),
+    )
+    h, w = frames.shape[1], frames.shape[2]
+    exp = DistributedClipExporter(cfg, h, w, 3)
+    rows = exp.local_rows(8)
+    local = np.concatenate([tchw[ra:rb] for _s, ra, rb in rows])
+    processed, _orig = exp.process_chunk(local, 8)
+
+    seq = ClipProcessor(cfg, h, w, 3)
+    want, _o = seq.process_chunk(tchw)
+    d = np.abs(processed.astype(np.int16) - want.astype(np.int16))
+    assert processed.shape == want.shape  # ROI+downscale geometry applied
+    assert d.max() <= 1, f"max diff {d.max()} LSB"

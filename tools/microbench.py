@@ -285,6 +285,41 @@ def main() -> int:
                              tuple(new_lo), tuple(new_hi))
         return state, total
 
+    def step_tail_mxu(state, t):
+        """Whole tail with the MXU-banded blur kernel (riesz_amplify_mxu) —
+        the round-4 fast-mode pairing's tail."""
+        from live_video_magnification_tpu.ops.pallas.riesz_amplify_mxu import (
+            riesz_amplify_mxu,
+        )
+
+        s = 1.0 + 1e-6 * t.astype(jnp.float32)
+        cur = jax.tree.map(lambda x: x * s, cur0, is_leaf=lambda x: x is None)
+        old = jax.tree.map(lambda x: x * s, old0, is_leaf=lambda x: x is None)
+        acc, lo, hi = state.acc, state.lo, state.hi
+        total = jnp.float32(0.0)
+        new_acc, new_lo, new_hi = [], [], []
+        for lvl in range(levels - 1):
+            pr = rops.phase_difference_and_amplitude(cur[lvl], old[lvl],
+                                                     compute_blur=False)
+            lo_res, phase, lo_r0, lo_r1 = riesz_df2_step(
+                acc[lvl], lo[lvl].reg0, lo[lvl].reg1,
+                pr.phase_diff, dyn.b_lo, dyn.a_lo)
+            hi_res, _, hi_r0, hi_r1 = riesz_df2_step(
+                acc[lvl], hi[lvl].reg0, hi[lvl].reg1,
+                pr.phase_diff, dyn.b_hi, dyn.a_hi)
+            new_acc.append(phase)
+            new_lo.append(m.RegPair(lo_r0, lo_r1))
+            new_hi.append(m.RegPair(hi_r0, hi_r1))
+            change = hi_res - lo_res
+            out = riesz_amplify_mxu(
+                pr.amplitude, change.cos, change.sin,
+                cur[lvl].lowpass, cur[lvl].riesz.cos, cur[lvl].riesz.sin,
+                dyn.amplification, dyn.threshold)
+            total = total + chk(out)
+        state = m.RieszState(state.count + 1, state.old, tuple(new_acc),
+                             tuple(new_lo), tuple(new_hi))
+        return state, total
+
     def step_full_jnp(state, t):
         st, out = m.step(state, frame_at(t), dyn, levels=levels,
                          use_pallas=False)
@@ -311,6 +346,7 @@ def main() -> int:
         "tail_df2": (step_tail_df2, lambda: m.init_state(h, w, levels)),
         "tail_amplify": (step_tail_amplify, lambda: jnp.zeros(())),
         "tail_jnp": (step_tail_jnp, lambda: m.init_state(h, w, levels)),
+        "tail_mxu": (step_tail_mxu, lambda: m.init_state(h, w, levels)),
         "full_jnp": (step_full_jnp, lambda: m.init_state(h, w, levels)),
         "collapse": (step_collapse, lambda: jnp.zeros(())),
         "full": (step_full, lambda: m.init_state(h, w, levels)),
