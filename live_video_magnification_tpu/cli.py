@@ -142,15 +142,20 @@ def cmd_magnify(args) -> int:
 
         distributed.initialize()
         t0 = time.monotonic()
+        stats: dict = {}
         final = export_video_distributed(
             args.input, args.output, cfg, chunk=args.chunk,
             file_fps=args.file_fps, start=args.start, end=args.end,
             split=split, labels=args.labels,
             checkpoint_path=args.checkpoint,
             checkpoint_every=args.checkpoint_every,
+            stats=stats,
         )
         dt = time.monotonic() - t0
-        n_frames = (args.end if args.end is not None else total) - args.start
+        # frames actually through the processor, not the container's total
+        # (which video_info documents may lie) — advisor round 4
+        n_frames = stats.get(
+            "frames", (args.end if args.end is not None else total) - args.start)
         print(f"\nwrote {n_frames} frames to {final} "
               f"({n_frames/dt:.1f} fps processing, "
               f"{len(__import__('jax').devices())} devices)", file=sys.stderr)

@@ -27,6 +27,12 @@ from live_video_magnification_tpu.models.chain import (
 )
 from live_video_magnification_tpu.models.params import ProcessorConfig
 
+# Carried-state pytree format. Bumped whenever the state layout changes so an
+# old checkpoint fails with a version error, not the misleading config-digest
+# message (advisor round 4). v2 = the round-4 10-plane RieszState (shared
+# accumulator; pre-round-4 checkpoints carried 12 planes/level).
+STATE_FORMAT_VERSION = 2
+
 
 class ClipProcessor:
     """Processor for [T, C, H, W] u8 chunks with carried state.
@@ -93,13 +99,23 @@ class ClipProcessor:
     def save_checkpoint(self, path: str) -> None:
         leaves, treedef = jax.tree.flatten(self.state)
         arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
-        meta = json.dumps({"cursor": self.cursor, "digest": self._config_digest()})
+        meta = json.dumps({"cursor": self.cursor, "digest": self._config_digest(),
+                           "version": STATE_FORMAT_VERSION})
         np.savez(path, __meta__=np.frombuffer(meta.encode(), dtype=np.uint8), **arrays)
 
     def load_checkpoint(self, path: str) -> int:
         """Restores state; returns the frame cursor to resume from."""
         data = np.load(path if path.endswith(".npz") else path + ".npz")
         meta = json.loads(bytes(data["__meta__"]).decode())
+        # version gate BEFORE the digest gate: a layout change also changes
+        # the digest, and "different configuration" would mislead the user
+        # into hunting a config diff that doesn't exist
+        found = meta.get("version", 1)
+        if found != STATE_FORMAT_VERSION:
+            raise ValueError(
+                f"incompatible checkpoint state-format version (checkpoint "
+                f"v{found}, this build writes v{STATE_FORMAT_VERSION}) — the "
+                "carried-state layout changed; re-export from the start")
         if meta["digest"] != self._config_digest():
             raise ValueError("checkpoint was written for a different configuration")
         leaves, treedef = jax.tree.flatten(self.state)

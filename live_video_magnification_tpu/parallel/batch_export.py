@@ -111,6 +111,10 @@ class DistributedClipExporter:
         """The (shard_index, row_start, row_end) triples of `chunk_len` frames
         that THIS process's devices own — the rows this host must decode and
         the output segments it must encode. Rows are chunk-relative."""
+        assert chunk_len % self.n_shards == 0, (
+            f"local_rows needs a shard-divisible chunk (got {chunk_len} over "
+            f"{self.n_shards} shards); partial tails take the replicated path "
+            "in process_chunk / export_video_distributed")
         shape = (chunk_len,)
         idx_map = self._frames_sharding.addressable_devices_indices_map(shape)
         out = []
@@ -179,6 +183,7 @@ def export_video_distributed(
     labels: bool = False,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
+    stats: Optional[dict] = None,
 ) -> str:
     """The config-5 program, single entry point (every process calls this with
     the same arguments; the coordinator returns the final path).
@@ -192,7 +197,11 @@ def export_video_distributed(
     (Exporter.cpp:53-88 semantics). checkpoint_path enables resume: the
     checkpoint format is ClipProcessor's (config-digest guarded), so a
     distributed export can resume a sequential one and vice versa; completed
-    chunks' part files are reused, only the remainder is processed."""
+    chunks' part files are reused, only the remainder is processed.
+
+    stats, if given, is filled with {"frames": N} — frames actually through
+    the processor this export (== end-start at completion), the number the
+    CLI reports (container frame counts can lie — advisor round 4)."""
     from live_video_magnification_tpu.export.exporter import compose
     from live_video_magnification_tpu.export.types import SplitMode
     from live_video_magnification_tpu.io.video import (
@@ -279,6 +288,14 @@ def export_video_distributed(
                 and (exp.cursor % checkpoint_every) < clen):
             exp.save_checkpoint(checkpoint_path)
 
+    if checkpoint_path and checkpoint_every and rank == 0 and pos > resume_at:
+        # final save: a completed run's checkpoint must read cursor == end
+        # so a re-run short-circuits to the finished output below — the
+        # periodic save above misses the last partial chunk whenever
+        # cursor % checkpoint_every lands inside it (found driving the CLI,
+        # round 5)
+        exp.save_checkpoint(checkpoint_path)
+
     if jax.process_count() > 1:
         # all hosts must finish encoding before the coordinator concats:
         # a REAL cross-process rendezvous (a local jit add synchronizes
@@ -286,6 +303,8 @@ def export_video_distributed(
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("lvmt_distributed_export_encode")
+    if stats is not None:
+        stats["frames"] = exp.cursor
     if rank != 0:
         return part_paths[-1][2] if part_paths else output_path
 
@@ -294,6 +313,11 @@ def export_video_distributed(
     # on the same output path can't be merged in (the cli resume concat has
     # the same manifest rule). In a multi-host run the parts live on shared
     # storage under the same deterministic names.
+    if resume_at >= end and os.path.exists(output_path):
+        # the checkpoint says every chunk finished: the prior run already
+        # concatenated (and by default deleted) the parts — demand nothing,
+        # return the finished file (advisor round 4)
+        return output_path
     missing = [p for _c, _s, p in expected if not os.path.exists(p)]
     if missing:
         raise IOError(

@@ -244,6 +244,62 @@ def test_export_video_distributed_split_and_resume(tmp_path):
     assert got.shape[0] == 16
 
 
+def test_export_video_distributed_rerun_after_complete_returns_output(tmp_path):
+    """Re-running a finished distributed export (checkpoint says all chunks
+    done, parts already concatenated and deleted) returns the existing output
+    instead of demanding the deleted part files (advisor round 4)."""
+    from live_video_magnification_tpu.io.video import read_video
+    from live_video_magnification_tpu.parallel.batch_export import (
+        export_video_distributed,
+    )
+
+    clip_path = _tiny_clip(tmp_path, t=8)
+    out = str(tmp_path / "out.avi")
+    ck = str(tmp_path / "ck")
+    cfg = _phase_cfg()
+    export_video_distributed(clip_path, out, cfg, chunk=8,
+                             checkpoint_path=ck, checkpoint_every=8)
+    before = read_video(out)[0]
+    final = export_video_distributed(clip_path, out, cfg, chunk=8,
+                                     checkpoint_path=ck)
+    assert final == out
+    np.testing.assert_array_equal(read_video(final)[0], before)
+
+
+def test_export_video_distributed_resume_with_deleted_parts_errors(tmp_path):
+    """Resuming past completed chunks whose part files were NOT kept
+    (keep_parts=False already deleted them) must raise the explicit
+    missing-parts IOError, not concat a short file."""
+    from live_video_magnification_tpu.parallel.batch_export import (
+        export_video_distributed,
+    )
+
+    clip_path = _tiny_clip(tmp_path, t=16)
+    out = str(tmp_path / "out.avi")
+    ck = str(tmp_path / "ck")
+    cfg = _phase_cfg()
+    export_video_distributed(clip_path, out, cfg, chunk=8, end=8,
+                             checkpoint_path=ck, checkpoint_every=8)
+    # chunk 0's parts are gone (concatenated + deleted); the resume over
+    # [8, 16) reuses them by name and must fail loudly
+    with pytest.raises(IOError, match="missing"):
+        export_video_distributed(clip_path, out, cfg, chunk=8,
+                                 checkpoint_path=ck)
+
+
+def test_local_rows_rejects_partial_chunk():
+    """local_rows is only defined for shard-divisible chunks; a partial tail
+    must take the replicated path (advisor round 4: chunk_len < n_shards used
+    to ZeroDivisionError)."""
+    from live_video_magnification_tpu.parallel.batch_export import (
+        DistributedClipExporter,
+    )
+
+    exp = DistributedClipExporter(_phase_cfg(), 64, 80, 3)
+    with pytest.raises(AssertionError, match="shard-divisible"):
+        exp.local_rows(6)
+
+
 def test_export_video_distributed_grayscale_roi_laplace(tmp_path):
     """The distributed program with a non-trivial chain geometry (ROI crop +
     1/2 downscale + grayscale + laplace): per-shard decode and the T-sharded

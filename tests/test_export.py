@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 from live_video_magnification_tpu.engine.processing import chw_to_hwc, frame_to_chw
+from live_video_magnification_tpu.export import batch
 from live_video_magnification_tpu.export.batch import ClipProcessor, export_frames
 from live_video_magnification_tpu.export.exporter import Exporter, compose, open_writer
 from live_video_magnification_tpu.export.recording import RecordingBuffer
@@ -86,6 +87,29 @@ def test_checkpoint_rejects_wrong_config(tmp_path):
     )
     with pytest.raises(ValueError):
         ClipProcessor(other, 32, 40, 3).load_checkpoint(ck)
+
+
+def test_checkpoint_rejects_old_state_format_version(tmp_path):
+    """A checkpoint from an older state layout (pre-round-4 12-plane
+    RieszState, or any future change that bumps STATE_FORMAT_VERSION) must
+    fail with a version error, not the misleading 'different configuration'
+    message (advisor round 4)."""
+    import json
+
+    frames = _clip(t=2)
+    proc = ClipProcessor(CFG, 32, 40, 3)
+    proc.process_chunk(frames)
+    ck = str(tmp_path / "state")
+    proc.save_checkpoint(ck)
+    # rewrite the meta as a version-less (v1) checkpoint
+    data = dict(np.load(ck + ".npz"))
+    meta = json.loads(bytes(data["__meta__"]).decode())
+    assert meta["version"] == batch.STATE_FORMAT_VERSION
+    del meta["version"]
+    data["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(ck, **data)
+    with pytest.raises(ValueError, match="state-format version"):
+        ClipProcessor(CFG, 32, 40, 3).load_checkpoint(ck)
 
 
 def test_time_parallel_export_equals_sequential():
