@@ -129,14 +129,29 @@ class DistributedClipExporter:
 
     # -- processing -----------------------------------------------------------------------------
 
-    def process_chunk(self, frames_u8_local: np.ndarray, chunk_len: int):
+    def process_chunk(self, frames_u8_local: np.ndarray, chunk_len: int,
+                      timings: Optional[dict] = None,
+                      fetch_original: bool = True):
         """Process one global chunk of `chunk_len` frames.
 
         frames_u8_local: [T_local, C, H, W] u8 — the concatenation of this
         process's owned rows (local_rows order). Returns (processed, original)
         as [T_local, ...] arrays covering the SAME rows (fetch is local: only
         addressable shards are materialized on this host).
+
+        timings, if given, accumulates {"process_s", "fetch_s"} busy seconds,
+        split by a device-side checksum sync between dispatch and fetch (the
+        only valid compute barrier behind the relay — bench.py protocol);
+        without it, no extra device op runs and the fetch synchronizes.
+
+        fetch_original=False returns (processed, None) and skips the
+        device->host transfer of the pre-magnification plane entirely —
+        HALF the d2h bytes. The exporter uses it whenever split mode doesn't
+        need the original pane (the default export).
         """
+        import time as _time
+
+        t0 = _time.monotonic()
         if chunk_len % self.n_shards != 0:
             # partial tail: replicated run of the same clip fn on the SAME
             # mesh (bit-compatible carry; every process holds and supplies
@@ -148,25 +163,48 @@ class DistributedClipExporter:
                     self._repl, frames_u8_local, frames_u8_local.shape)
             self.state, (outs, pre) = self._plain_chunk(self.state, garr,
                                                         self._dyn)
-            self.cursor += chunk_len
-            return np.asarray(outs), np.asarray(pre)
-        if jax.process_count() == 1:
-            garr = jax.device_put(jnp.asarray(frames_u8_local),
-                                  self._frames_sharding)
         else:
-            shape = (chunk_len,) + frames_u8_local.shape[1:]
-            garr = jax.make_array_from_process_local_data(
-                self._frames_sharding, frames_u8_local, shape)
-        self.state, (outs, pre) = self._sharded_chunk(self.state, garr,
-                                                      self._dyn)
+            if jax.process_count() == 1:
+                garr = jax.device_put(jnp.asarray(frames_u8_local),
+                                      self._frames_sharding)
+            else:
+                shape = (chunk_len,) + frames_u8_local.shape[1:]
+                garr = jax.make_array_from_process_local_data(
+                    self._frames_sharding, frames_u8_local, shape)
+            self.state, (outs, pre) = self._sharded_chunk(self.state, garr,
+                                                          self._dyn)
         self.cursor += chunk_len
+        if timings is not None:
+            _checksum_sync(outs)
+            t1 = _time.monotonic()
+            timings["process_s"] = timings.get("process_s", 0.0) + (t1 - t0)
 
         def local(arr):
+            # replicated (the partial tail) or single-shard: materialize
+            # directly — every addressable shard IS the full/only slice, and
+            # the concat below would duplicate rows
+            if (arr.sharding.is_fully_replicated
+                    or len(arr.addressable_shards) == 1):
+                return np.asarray(arr)
             shards = sorted(arr.addressable_shards,
                             key=lambda s: s.index[0].start or 0)
             return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
-        return local(outs), local(pre)
+        out = local(outs), (local(pre) if fetch_original else None)
+        if timings is not None:
+            timings["fetch_s"] = (timings.get("fetch_s", 0.0)
+                                  + (_time.monotonic() - t1))
+        return out
+
+
+def _checksum_sync(out) -> None:
+    """Device-side scalar checksum + 4-byte readback: the only timing barrier
+    that works behind the axon relay (block_until_ready returns at dispatch;
+    a full fetch would measure the ~320 KB/s tunnel, not compute)."""
+    leaf = jax.tree.leaves(out)[0]
+    s = jax.jit(lambda x: jnp.sum(x.ravel()[:: max(1, x.size // 64)]
+                                  .astype(jnp.float32)))(leaf)
+    float(s)
 
 
 def export_video_distributed(
@@ -184,6 +222,7 @@ def export_video_distributed(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     stats: Optional[dict] = None,
+    prefetch: bool = True,
 ) -> str:
     """The config-5 program, single entry point (every process calls this with
     the same arguments; the coordinator returns the final path).
@@ -193,15 +232,30 @@ def export_video_distributed(
     (chunk, shard) — is the global frame order. Returns the final output path
     on process 0 (other processes return their last part path).
 
+    prefetch=True (default) overlaps the host stages with the device: a decode
+    thread keeps the next chunk ready while the current one runs SPMD, and an
+    encode thread drains finished chunks into part files — the pipeline
+    pattern of the live engine (BoundedQueue semantics, ProcessingChain.hpp
+    frames-in-order invariant: chunks still process strictly in order on
+    device; only the host IO runs concurrently). prefetch=False is the serial
+    reference path (bit-identical output; used for the stage-split A/B).
+
     split/labels compose original|processed panes exactly like the GUI export
     (Exporter.cpp:53-88 semantics). checkpoint_path enables resume: the
     checkpoint format is ClipProcessor's (config-digest guarded), so a
     distributed export can resume a sequential one and vice versa; completed
-    chunks' part files are reused, only the remainder is processed.
+    chunks' part files are reused, only the remainder is processed. A
+    checkpoint is only written after its chunks' part files are on disk
+    (the encode queue drains first), so resume always finds the parts it
+    skips.
 
     stats, if given, is filled with {"frames": N} — frames actually through
     the processor this export (== end-start at completion), the number the
-    CLI reports (container frame counts can lie — advisor round 4)."""
+    CLI reports (container frame counts can lie — advisor round 4) — plus
+    per-stage busy seconds {"decode_s", "process_s", "fetch_s", "encode_s",
+    "concat_s", "wall_s"} for the config-5 stage split (process/fetch are
+    separated by a device checksum sync; on the axon relay the fetch figure
+    is tunnel bandwidth, not production PCIe)."""
     from live_video_magnification_tpu.export.exporter import compose
     from live_video_magnification_tpu.export.types import SplitMode
     from live_video_magnification_tpu.io.video import (
@@ -234,42 +288,63 @@ def export_video_distributed(
     if checkpoint_path and os.path.exists(checkpoint_path + ".npz"):
         resume_at = start + exp.load_checkpoint(checkpoint_path)
 
+    import queue as _queue
+    import threading
+    import time as _time
+
+    t_wall0 = _time.monotonic()
+    timings: dict = {}
+
+    # chunk plan, built up front so the decode prefetcher and the main loop
+    # walk the same schedule: (ci, pos, clen, rows, partial)
     part_paths: List[Tuple[int, int, str]] = []  # (chunk_index, shard, path)
     expected: List[Tuple[int, int, str]] = []    # ALL parts this run produces
+    plan = []
     ci = 0
     pos = start
     while pos < end:
         clen = min(chunk, end - pos)
-        if clen % n == 0:
+        partial = clen % n != 0
+        if not partial:
             rows = exp.local_rows(clen)
             for sh in range(n):
                 expected.append((ci, sh, f"{base}.c{ci:04d}s{sh:03d}{ext}"))
         else:  # partial tail: every process decodes + processes the remainder
             rows = [(0, 0, clen)]
             expected.append((ci, 0, f"{base}.c{ci:04d}s{0:03d}{ext}"))
-        if pos + clen <= resume_at:
-            # completed before the checkpoint: the part files already exist
-            # (chunks checkpoint only at whole-chunk boundaries, so the
-            # resume point always aligns); reuse them, skip the compute
-            pos += clen
-            ci += 1
-            continue
+        if pos + clen > resume_at:
+            plan.append((ci, pos, clen, rows, partial))
+        # else: completed before the checkpoint — the part files already
+        # exist (checkpoints are written only after their parts are on disk);
+        # reuse them, skip decode + compute entirely
+        pos += clen
+        ci += 1
+
+    def decode_chunk(item) -> np.ndarray:
+        _ci, cpos, _clen, rows, _partial = item
+        t0 = _time.monotonic()
         frames = []
         for _sh, a, b in rows:
             frames.extend(
                 f if f.ndim == 3 else f[..., None]
-                for f in iter_video(input_path, pos + a, pos + b)
+                for f in iter_video(input_path, cpos + a, cpos + b)
             )
         local = np.ascontiguousarray(
             np.moveaxis(np.stack(frames), -1, 1))  # [T_local, C, H, W]
-        processed, original = exp.process_chunk(local, clen)
-        # encode this host's segments, one part per (chunk, shard)
+        timings["decode_s"] = (timings.get("decode_s", 0.0)
+                               + (_time.monotonic() - t0))
+        return local
+
+    def encode_chunk(item, processed: np.ndarray, original: np.ndarray):
+        _ci, _cpos, clen, rows, partial = item
+        t0 = _time.monotonic()
         off = 0
         for sh, a, b in rows:
             seg = processed[off : off + (b - a)]
-            orig_seg = original[off : off + (b - a)]
+            orig_seg = (original[off : off + (b - a)]
+                        if original is not None else None)
             off += b - a
-            if clen % n != 0 and rank != 0:
+            if partial and rank != 0:
                 continue  # the replicated tail chunk is written once
             out_hwc = np.moveaxis(seg, 1, -1)
             if split is not SplitMode.NONE:
@@ -278,17 +353,85 @@ def export_video_distributed(
                     compose(orig_hwc[i], out_hwc[i], split, labels)
                     for i in range(out_hwc.shape[0])
                 ])
-            ppath = f"{base}.c{ci:04d}s{sh:03d}{ext}"
+            ppath = f"{base}.c{_ci:04d}s{sh:03d}{ext}"
             wtr = VideoWriterStream(ppath, out_fps)
             wtr.write_chunk(out_hwc)
-            part_paths.append((ci, sh, wtr.close()))
-        pos += clen
-        ci += 1
+            part_paths.append((_ci, sh, wtr.close()))
+        timings["encode_s"] = (timings.get("encode_s", 0.0)
+                               + (_time.monotonic() - t0))
+
+    def maybe_checkpoint(item, drain=None):
+        _ci, _cpos, clen, _rows, _partial = item
         if (checkpoint_path and checkpoint_every and rank == 0
                 and (exp.cursor % checkpoint_every) < clen):
+            if drain is not None:
+                drain()  # parts of every checkpointed chunk must be on disk
             exp.save_checkpoint(checkpoint_path)
 
-    if checkpoint_path and checkpoint_every and rank == 0 and pos > resume_at:
+    need_orig = split is not SplitMode.NONE
+
+    if not prefetch:
+        for item in plan:
+            local = decode_chunk(item)
+            processed, original = exp.process_chunk(local, item[2],
+                                                    timings=timings,
+                                                    fetch_original=need_orig)
+            encode_chunk(item, processed, original)
+            maybe_checkpoint(item)
+    else:
+        # decode thread keeps the NEXT chunk ready while this one runs SPMD;
+        # encode thread drains finished chunks — host IO overlaps device
+        # compute, chunks still hit the device strictly in order
+        decoded: _queue.Queue = _queue.Queue(maxsize=2)
+        to_encode: _queue.Queue = _queue.Queue(maxsize=2)
+        encode_err: List[BaseException] = []
+
+        def decode_worker():
+            try:
+                for item in plan:
+                    decoded.put((item, decode_chunk(item)))
+            except BaseException as e:  # surfaced by the main loop
+                decoded.put((None, e))
+
+        def encode_worker():
+            while True:
+                got = to_encode.get()
+                try:
+                    if got is None:
+                        return
+                    if not encode_err:  # fail-fast: stop writing after error
+                        encode_chunk(*got)
+                except BaseException as e:
+                    encode_err.append(e)
+                finally:
+                    to_encode.task_done()
+
+        def drain_encode():
+            to_encode.join()
+            if encode_err:
+                raise encode_err[0]
+
+        dec_t = threading.Thread(target=decode_worker, daemon=True)
+        enc_t = threading.Thread(target=encode_worker, daemon=True)
+        dec_t.start()
+        enc_t.start()
+        try:
+            for item in plan:
+                got_item, local = decoded.get()
+                if got_item is None:
+                    raise local  # decode error
+                assert got_item[0] == item[0]
+                processed, original = exp.process_chunk(local, item[2],
+                                                        timings=timings,
+                                                        fetch_original=need_orig)
+                to_encode.put((item, processed, original))
+                maybe_checkpoint(item, drain=drain_encode)
+            drain_encode()
+        finally:
+            to_encode.put(None)  # stop the encoder; decode thread is daemon
+            enc_t.join(timeout=60)
+
+    if checkpoint_path and checkpoint_every and rank == 0 and plan:
         # final save: a completed run's checkpoint must read cursor == end
         # so a re-run short-circuits to the finished output below — the
         # periodic save above misses the last partial chunk whenever
@@ -305,6 +448,8 @@ def export_video_distributed(
         multihost_utils.sync_global_devices("lvmt_distributed_export_encode")
     if stats is not None:
         stats["frames"] = exp.cursor
+        stats.update(timings)
+        stats["wall_s"] = _time.monotonic() - t_wall0
     if rank != 0:
         return part_paths[-1][2] if part_paths else output_path
 
@@ -324,9 +469,13 @@ def export_video_distributed(
             f"distributed export: {len(missing)} expected part file(s) "
             f"missing (first: {missing[0]}) — on multi-host, parts must land "
             "on storage shared with the coordinator")
+    t_cc = _time.monotonic()
     final = concat_videos([p for _c, _s, p in expected], output_path, out_fps)
     if not keep_parts:
         for _c, _s, p in expected:
             if os.path.abspath(p) != os.path.abspath(final):
                 os.unlink(p)
+    if stats is not None:
+        stats["concat_s"] = _time.monotonic() - t_cc
+        stats["wall_s"] = _time.monotonic() - t_wall0
     return final

@@ -287,6 +287,33 @@ def test_export_video_distributed_resume_with_deleted_parts_errors(tmp_path):
                                  checkpoint_path=ck)
 
 
+def test_export_prefetch_pipeline_matches_serial_and_reports_stages(tmp_path):
+    """The overlapped decode/encode pipeline (prefetch=True, the default)
+    produces a bit-identical file to the serial path, and stats carries the
+    per-stage busy-seconds split (decode/process/fetch/encode/concat) used by
+    the config-5 stage-split measurement."""
+    from live_video_magnification_tpu.io.video import read_video
+    from live_video_magnification_tpu.parallel.batch_export import (
+        export_video_distributed,
+    )
+
+    clip_path = _tiny_clip(tmp_path, t=22)  # 2 full chunks + 6-frame tail
+    cfg = _phase_cfg()
+    out_p = str(tmp_path / "pipelined.avi")
+    out_s = str(tmp_path / "serial.avi")
+    st_p: dict = {}
+    st_s: dict = {}
+    export_video_distributed(clip_path, out_p, cfg, chunk=8, stats=st_p)
+    export_video_distributed(clip_path, out_s, cfg, chunk=8, stats=st_s,
+                             prefetch=False)
+    np.testing.assert_array_equal(read_video(out_p)[0], read_video(out_s)[0])
+    for st in (st_p, st_s):
+        assert st["frames"] == 22
+        for k in ("decode_s", "process_s", "fetch_s", "encode_s", "concat_s",
+                  "wall_s"):
+            assert st[k] > 0, (k, st)
+
+
 def test_local_rows_rejects_partial_chunk():
     """local_rows is only defined for shard-divisible chunks; a partial tail
     must take the replicated path (advisor round 4: chunk_len < n_shards used
