@@ -361,6 +361,74 @@ def view_magnify_active(mode: ViewMode) -> bool:
     return mode is not ViewMode.ORIGINAL
 
 
+class FullscreenState:
+    """Request-then-reconcile fullscreen (MainWindow.cpp:346-389).
+
+    `request` only decides what to ASK the window manager for; the WM is
+    authoritative (a Wayland/tiling-WM fullscreen request can be refused), so
+    chrome changes happen exclusively in `reconcile`, fed the ACTUAL state
+    after the request settles — and reconcile is idempotent because a state
+    change can fire more than once per toggle (fullscreen_ guard,
+    MainWindow.cpp:359-361). Pure (headless-testable)."""
+
+    def __init__(self):
+        self.applied = False        # last chrome state applied
+        self.was_maximized = False  # restore this on leaving fullscreen
+
+    def request(self, on: bool, export_active: bool, is_fullscreen: bool,
+                is_maximized: bool) -> str:
+        """'enter' | 'leave_max' | 'leave_normal' | 'noop'
+        (MainWindow.cpp:346-357: an export owns the UI lock; entering
+        remembers maximized so leaving restores it)."""
+        if on:
+            if export_active or is_fullscreen:
+                return "noop"
+            self.was_maximized = is_maximized
+            return "enter"
+        if not is_fullscreen:
+            return "noop"
+        return "leave_max" if self.was_maximized else "leave_normal"
+
+    def reconcile(self, actual_fullscreen: bool, source_open: bool,
+                  source_is_file: bool, settings_on: bool):
+        """WindowStateChange -> chrome visibility decisions, or None when
+        the state didn't actually change (MainWindow.cpp:359-380).
+
+        Keeps the transport for a file source so it stays scrubbable; hides
+        everything else. Entering disarms ROI drawing (the panel hosting the
+        toggle is hidden; the active ROI region stays) and moves key focus to
+        the display. The settings panel re-shows only if its toggle is still
+        on (the reference's explicitly-hidden-child rule applied to the
+        inspector)."""
+        if self.applied == actual_fullscreen:
+            return None
+        self.applied = actual_fullscreen
+        on = actual_fullscreen
+        keep_transport = source_open and source_is_file
+        return {
+            "toolbar": not on,
+            "panel": (not on) and settings_on,
+            "status": not on,
+            "transport": (not on) or keep_transport,
+            "disarm_roi": on,
+            "focus_display": on,
+        }
+
+
+def fullscreen_key(key: str, is_fullscreen: bool, export_active: bool) -> str:
+    """F11/Escape handling (MainWindow.cpp:407-421): F11 toggles, Escape
+    only acts while fullscreen (and otherwise propagates normally to
+    dialogs/spinboxes), both inert during an export. Returns
+    'toggle' | 'exit' | 'pass'. Pure."""
+    if export_active:
+        return "pass"
+    if key == "F11":
+        return "toggle"
+    if key == "Escape" and is_fullscreen:
+        return "exit"
+    return "pass"
+
+
 def stats_line(process_fps: float, latency_ms_mean: float,
                latency_ms_p95: float, queue_depth: int, proc_errors: int,
                drop_fraction: float, is_camera: bool, target_fps: float):
@@ -718,6 +786,7 @@ class MainWindow:
         # --- toolbar -------------------------------------------------------------------------
         bar = ttk.Frame(self.root)
         bar.pack(side="top", fill="x")
+        self.toolbar = bar
         ttk.Button(bar, text="Open File", command=self.on_open_file).pack(side="left")
         ttk.Button(bar, text="Open Camera", command=self.on_open_camera).pack(side="left")
         ttk.Button(bar, text="Synthetic", command=self.on_open_synthetic).pack(side="left")
@@ -725,6 +794,14 @@ class MainWindow:
         self.record_btn = ttk.Button(bar, text="Record", command=self.on_record)
         self.record_btn.pack(side="left")
         ttk.Button(bar, text="Theme", command=self.on_theme_toggle).pack(side="right")
+        # Settings: checkable inspector show/hide (MainWindow.cpp:97-100,205-207)
+        self.settings_var = tk.BooleanVar(value=True)
+        ttk.Checkbutton(bar, text="Settings", variable=self.settings_var,
+                        command=self.on_settings_toggle,
+                        style="Toolbutton").pack(side="right")
+        ttk.Button(bar, text="Fullscreen",
+                   command=lambda: self.set_fullscreen(
+                       not self._is_fullscreen())).pack(side="right")
         self.view_var = tk.StringVar(value="processed")
         view = ttk.Combobox(bar, textvariable=self.view_var, state="readonly", width=14,
                             values=[m.value for m in ViewMode])
@@ -742,11 +819,14 @@ class MainWindow:
 
         panel = ttk.Frame(center, padding=8)
         panel.pack(side="right", fill="y")
+        self.center = center
+        self.panel = panel
         self._build_panel(panel)
 
         # --- transport -----------------------------------------------------------------------
         transport = ttk.Frame(self.root, padding=4)
         transport.pack(side="top", fill="x")
+        self.transport = transport
         ttk.Button(transport, text="▶", width=3, command=self.controller.play).pack(side="left")
         ttk.Button(transport, text="⏸", width=3, command=self.controller.pause).pack(side="left")
         ttk.Button(transport, text="⏹", width=3, command=self.controller.stop).pack(side="left")
@@ -792,6 +872,13 @@ class MainWindow:
         self._resume_after_export = False
         self._recording_buf = None
         self._was_scrub_playing = False
+
+        # fullscreen: request-then-reconcile against the WM + F11/Esc
+        # (MainWindow.cpp:346-389,407-421); Escape handled here, not as an
+        # always-on shortcut, so it propagates normally when not fullscreen
+        self._fs = FullscreenState()
+        self.root.bind("<F11>", lambda e: self._on_fullscreen_key("F11"))
+        self.root.bind("<Escape>", lambda e: self._on_fullscreen_key("Escape"))
 
         self.root.after(8, self._poll_display)       # ~120 Hz present timer
         self.root.after(250, self._poll_stats)       # 4 Hz stats
@@ -1240,6 +1327,91 @@ class MainWindow:
     def on_theme_toggle(self):
         self.palette = self._theme.apply(self.root, self._theme_state.toggle())
         self.canvas.configure(bg=self.palette.bg)
+
+    # --- settings toggle + fullscreen (MainWindow.cpp:97-100,205-207,346-421) --------------------
+
+    def on_settings_toggle(self):
+        """Show/hide the inspector panel; inert while fullscreen hides all
+        chrome (the reconcile re-applies the toggle state on leave)."""
+        if self._fs.applied:
+            return
+        if self.settings_var.get():
+            self.panel.pack(side="right", fill="y", before=self.canvas)
+        else:
+            self.panel.pack_forget()
+
+    def _is_fullscreen(self) -> bool:
+        try:
+            return bool(int(self.root.attributes("-fullscreen")))
+        except Exception:
+            return False
+
+    def _is_maximized(self) -> bool:
+        # X11 exposes maximize as the -zoomed attribute; absent elsewhere
+        try:
+            return bool(int(self.root.attributes("-zoomed")))
+        except Exception:
+            return self.root.state() == "zoomed"
+
+    def set_fullscreen(self, on: bool):
+        act = self._fs.request(on, self._export_active(),
+                               self._is_fullscreen(), self._is_maximized())
+        if act == "noop":
+            return
+        self.root.attributes("-fullscreen", act == "enter")
+        if act == "leave_max":
+            try:
+                self.root.attributes("-zoomed", True)
+            except Exception:
+                try:
+                    self.root.state("zoomed")
+                except Exception:
+                    pass
+        # the WM is authoritative: reconcile chrome to what was GRANTED once
+        # the request settles (MainWindow.cpp changeEvent semantics)
+        self.root.after(50, self._reconcile_fullscreen)
+
+    def _reconcile_fullscreen(self):
+        vis = self._fs.reconcile(
+            self._is_fullscreen(),
+            source_open=self.controller._source is not None,
+            source_is_file=not self.controller.is_camera,
+            settings_on=self.settings_var.get(),
+        )
+        if vis is None:
+            return
+        self._apply_chrome(vis)
+
+    def _apply_chrome(self, vis: dict):
+        """Map the pure reconcile decisions onto pack geometry. Re-packing
+        uses `before=` anchors so the stacking order survives round trips."""
+        def show(w, on, **pack_kw):
+            if on and not w.winfo_manager():
+                w.pack(**pack_kw)
+            elif not on and w.winfo_manager():
+                w.pack_forget()
+
+        show(self.toolbar, vis["toolbar"], side="top", fill="x",
+             before=self.center)
+        show(self.panel, vis["panel"], side="right", fill="y",
+             before=self.canvas)
+        show(self.status, vis["status"], side="bottom", fill="x")
+        show(self.transport, vis["transport"], side="top", fill="x",
+             after=self.center)
+        if vis["disarm_roi"]:
+            self._roi_start = None
+            if self._roi_rect_id is not None:
+                self.canvas.delete(self._roi_rect_id)
+                self._roi_rect_id = None
+        if vis["focus_display"]:
+            self.canvas.focus_set()
+
+    def _on_fullscreen_key(self, key: str):
+        act = fullscreen_key(key, self._is_fullscreen(), self._export_active())
+        if act == "toggle":
+            self.set_fullscreen(not self._is_fullscreen())
+        elif act == "exit":
+            self.set_fullscreen(False)
 
     def _set_view(self):
         mode = ViewMode(self.view_var.get())

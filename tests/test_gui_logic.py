@@ -413,3 +413,78 @@ def test_theme_style_map_uses_tokens_consistently():
         w = theme.widget_defaults(p)
         assert w["*Canvas.background"] == p.bg
         assert w["*Listbox.selectBackground"] == p.accent
+
+
+# ------------------------------------------------- fullscreen + settings toggle
+
+def test_fullscreen_request_semantics():
+    """setFullscreen request rules (MainWindow.cpp:346-357): blocked during
+    export, idempotent, and leaving restores the remembered maximized
+    state."""
+    from live_video_magnification_tpu.gui import FullscreenState
+
+    fs = FullscreenState()
+    # an export owns the UI lock
+    assert fs.request(True, export_active=True, is_fullscreen=False,
+                      is_maximized=False) == "noop"
+    # already fullscreen: no re-request
+    assert fs.request(True, False, is_fullscreen=True,
+                      is_maximized=False) == "noop"
+    # entering remembers maximized
+    assert fs.request(True, False, False, is_maximized=True) == "enter"
+    assert fs.request(False, False, is_fullscreen=True,
+                      is_maximized=False) == "leave_max"
+    # entering from a normal window leaves to normal
+    assert fs.request(True, False, False, is_maximized=False) == "enter"
+    assert fs.request(False, False, True, False) == "leave_normal"
+    # leave while not fullscreen: nothing to do
+    assert fs.request(False, False, is_fullscreen=False,
+                      is_maximized=False) == "noop"
+
+
+def test_fullscreen_reconcile_chrome_and_idempotency():
+    """applyFullscreenUi semantics (MainWindow.cpp:359-380): chrome follows
+    the ACTUAL granted state; repeated state-change events are no-ops; a file
+    source keeps the transport scrubbable; ROI drawing disarms on entry."""
+    from live_video_magnification_tpu.gui import FullscreenState
+
+    fs = FullscreenState()
+    # WM denied the request: actual stays False -> nothing changes
+    assert fs.reconcile(False, source_open=True, source_is_file=True,
+                        settings_on=True) is None
+
+    vis = fs.reconcile(True, source_open=True, source_is_file=True,
+                       settings_on=True)
+    assert vis == {"toolbar": False, "panel": False, "status": False,
+                   "transport": True,      # file stays scrubbable
+                   "disarm_roi": True, "focus_display": True}
+    # duplicate WindowStateChange: idempotent
+    assert fs.reconcile(True, True, True, True) is None
+
+    # camera source: transport hides too
+    fs2 = FullscreenState()
+    vis = fs2.reconcile(True, source_open=True, source_is_file=False,
+                        settings_on=True)
+    assert vis["transport"] is False
+
+    # leaving: everything back, but the settings panel only if its toggle is
+    # still on (explicitly-hidden child survives)
+    vis = fs2.reconcile(False, source_open=True, source_is_file=False,
+                        settings_on=False)
+    assert vis == {"toolbar": True, "panel": False, "status": True,
+                   "transport": True, "disarm_roi": False,
+                   "focus_display": False}
+
+
+def test_fullscreen_keys():
+    """F11 toggles, Escape only exits while fullscreen and otherwise
+    propagates; both inert during export (MainWindow.cpp:407-421)."""
+    from live_video_magnification_tpu.gui import fullscreen_key
+
+    assert fullscreen_key("F11", False, False) == "toggle"
+    assert fullscreen_key("F11", True, False) == "toggle"
+    assert fullscreen_key("Escape", True, False) == "exit"
+    assert fullscreen_key("Escape", False, False) == "pass"  # propagates
+    assert fullscreen_key("F11", False, True) == "pass"      # export lock
+    assert fullscreen_key("Escape", True, True) == "pass"
+    assert fullscreen_key("a", True, False) == "pass"

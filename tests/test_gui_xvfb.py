@@ -248,3 +248,46 @@ def test_theme_toggle_restyles_live_widgets(win):
     assert not win._theme_state.following_system  # pinned by the toggle
     win.on_theme_toggle()
     assert win._theme_state.scheme == start
+
+
+def test_fullscreen_and_settings_toggle(win):
+    """Toolbar parity (MainWindow.cpp:97-100,346-389,407-421): the Settings
+    checkbutton hides/shows the inspector panel; fullscreen hides the chrome
+    (transport kept for a file source), F11 toggles and Escape exits; leaving
+    fullscreen respects a hidden settings panel."""
+    _pump(win, 0.2)
+    assert win.panel.winfo_manager()          # inspector starts visible
+
+    # settings toggle hides / shows the panel
+    win.settings_var.set(False)
+    win.on_settings_toggle()
+    _pump(win, 0.2)
+    assert not win.panel.winfo_manager()
+    win.settings_var.set(True)
+    win.on_settings_toggle()
+    _pump(win, 0.2)
+    assert win.panel.winfo_manager()
+
+    # enter fullscreen: chrome hides; reconcile follows the ACTUAL state
+    win.set_fullscreen(True)
+    assert _pump(win, 2.0, until=lambda: win._fs.applied)
+    assert not win.toolbar.winfo_manager()
+    assert not win.panel.winfo_manager()
+    assert not win.status.winfo_manager()
+
+    # Escape exits; chrome returns
+    win._on_fullscreen_key("Escape")
+    assert _pump(win, 2.0, until=lambda: not win._fs.applied)
+    assert win.toolbar.winfo_manager()
+    assert win.panel.winfo_manager()
+    assert win.status.winfo_manager()
+
+    # hidden settings panel stays hidden across a fullscreen round trip
+    win.settings_var.set(False)
+    win.on_settings_toggle()
+    win._on_fullscreen_key("F11")             # F11 enters
+    assert _pump(win, 2.0, until=lambda: win._fs.applied)
+    win._on_fullscreen_key("F11")             # F11 exits
+    assert _pump(win, 2.0, until=lambda: not win._fs.applied)
+    assert win.toolbar.winfo_manager()
+    assert not win.panel.winfo_manager()      # explicitly-hidden child
