@@ -262,6 +262,57 @@ def bench_streaming(h: int = 1080, w: int = 1920, fps: float = 60.0,
     }
 
 
+def bench_display_present(h: int = 1080, w: int = 1920, n: int = 240) -> dict:
+    """The display present path, host-side (VERDICT round-4 item 5): per NEW
+    frame, poll_once (mailbox read + seq check) -> compose_view -> the PPM
+    byte assembly the tk PhotoImage fast path consumes (gui._frame_to_photo
+    minus the widget blit, which needs a display; the reference uploads a
+    texture here, DisplayWidget.cpp:133-158). Also times the no-new-frame
+    short-circuit (DisplayWidget.cpp:39-52: a ~120 Hz poll must be ~free when
+    the seq hasn't advanced). Pure host work — no TPU involved."""
+    import numpy as np
+
+    from live_video_magnification_tpu.engine.display import DisplayLoop, ViewMode
+    from live_video_magnification_tpu.engine.frame import Frame
+    from live_video_magnification_tpu.engine.instrumentation import Instrumentation
+    from live_video_magnification_tpu.engine.mailbox import DisplayFrame, LatestFrameMailbox
+    from live_video_magnification_tpu.gui import PhotoCodec
+
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8) for _ in range(4)]
+    mailbox = LatestFrameMailbox()
+    loop = DisplayLoop(mailbox, Instrumentation(), view_mode=ViewMode.PROCESSED)
+    ppm_bytes = PhotoCodec().ppm  # the ACTUAL gui present-path encoder
+
+    # warm
+    for seq in range(3):
+        img = imgs[seq % len(imgs)]
+        mailbox.publish(DisplayFrame(Frame(seq=seq, data=img), Frame(seq=seq, data=img)))
+        v = loop.poll_once()
+        assert v is not None
+        ppm_bytes(v)
+
+    t0 = time.monotonic()
+    for i in range(n):
+        seq = 3 + i
+        img = imgs[seq % len(imgs)]
+        mailbox.publish(DisplayFrame(Frame(seq=seq, data=img), Frame(seq=seq, data=img)))
+        v = loop.poll_once()
+        ppm_bytes(v)
+    dt = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    for _ in range(n):
+        assert loop.poll_once() is None  # seq unchanged: the short-circuit
+    dt_idle = time.monotonic() - t1
+
+    return {
+        "fps": n / dt,
+        "present_ms": 1e3 * dt / n,
+        "idle_poll_us": 1e6 * dt_idle / n,
+    }
+
+
 def run_matrix(steps: int) -> list:
     """BASELINE.md benchmark configs. Returns a list of result dicts."""
     import jax
@@ -395,6 +446,29 @@ def run_matrix(steps: int) -> list:
                     "u8 base + pulse LUT since round 2 (pixel values ~1 LSB off "
                     "the round-1 f32 render — not comparable across rounds)",
         }
+        results.append(entry)
+        print(json.dumps(entry))
+
+    # display present path (host-only, VERDICT round-4 item 5): ms per
+    # composed-1080p-frame-to-PPM present + the no-new-frame poll cost
+    try:
+        d = bench_display_present()
+        entry = {
+            "metric": "display_present_1080p",
+            "value": round(d["present_ms"], 2), "unit": "ms",
+            "fps_equivalent": round(d["fps"], 1),
+            "idle_poll_us": round(d["idle_poll_us"], 2),
+            "device": "cpu-host",
+            "note": "poll_once + compose_view + PPM byte assembly (the tk "
+                    "PhotoImage fast-path input; the widget blit itself needs "
+                    "a display); idle_poll_us = the seq-unchanged short-circuit "
+                    "(DisplayWidget.cpp:39-52 semantics)",
+        }
+        results.append(entry)
+        print(json.dumps(entry))
+    except Exception as e:
+        entry = {"metric": "display_present_1080p",
+                 "error": f"{type(e).__name__}: {e}"[:300]}
         results.append(entry)
         print(json.dumps(entry))
     return results

@@ -462,15 +462,44 @@ def timeline_fraction(current_frame: int, frame_count: int) -> float:
     return current_frame / max(1, frame_count - 1)
 
 
-def _frame_to_photo(tk, img: np.ndarray):
+class PhotoCodec:
+    """Reusable PPM-encode buffer for the tk PhotoImage present path.
+
+    The naive encode (fancy-index BGR->RGB + ascontiguousarray + tobytes +
+    header concat) moves ~3 payload copies per frame: measured 16.1 ms per
+    1080p present (bench_display_present, round 5). Here the header is
+    written once per geometry and the RGB payload is converted IN PLACE with
+    one SIMD cv2.cvtColor pass into a persistent buffer; the only remaining
+    copy is the bytes() handoff tk requires. The reference's analogue is the
+    upload-only-on-new-seq GL texture path (DisplayWidget.cpp:133-158)."""
+
+    def __init__(self):
+        self._buf: Optional[bytearray] = None
+        self._key = None
+        self._payload = None
+
+    def ppm(self, img: np.ndarray) -> bytes:
+        import cv2
+
+        h, w = img.shape[:2]
+        header = f"P6 {w} {h} 255 ".encode()
+        key = (h, w, len(header))
+        if self._key != key:
+            self._buf = bytearray(len(header) + h * w * 3)
+            self._buf[: len(header)] = header
+            self._payload = np.frombuffer(
+                memoryview(self._buf)[len(header):], dtype=np.uint8
+            ).reshape(h, w, 3)
+            self._key = key
+        code = cv2.COLOR_GRAY2RGB if img.ndim == 2 else cv2.COLOR_BGR2RGB
+        cv2.cvtColor(img, code, dst=self._payload)
+        return bytes(self._buf)
+
+
+def _frame_to_photo(tk, img: np.ndarray, codec: Optional[PhotoCodec] = None):
     """BGR/gray u8 -> tk.PhotoImage via PPM bytes (no extra deps)."""
-    if img.ndim == 2:
-        rgb = np.repeat(img[..., None], 3, axis=-1)
-    else:
-        rgb = img[..., ::-1]  # BGR -> RGB
-    h, w = rgb.shape[:2]
-    header = f"P6 {w} {h} 255 ".encode()
-    return tk.PhotoImage(data=header + np.ascontiguousarray(rgb).tobytes(), format="PPM")
+    data = (codec or PhotoCodec()).ppm(img)
+    return tk.PhotoImage(data=data, format="PPM")
 
 
 class CameraSelectDialog:
@@ -861,6 +890,7 @@ class MainWindow:
         self.status.pack(side="bottom", fill="x")
 
         self._photo = None
+        self._photo_codec = PhotoCodec()  # reusable PPM buffer (present path)
         self._img_geom = None  # (x0, y0, draw_w, draw_h, frame_w, frame_h)
         self._roi_start = None
         self._roi_rect_id = None
@@ -1428,7 +1458,7 @@ class MainWindow:
                 ys = (np.arange(dh) * fh / dh).astype(int)
                 xs = (np.arange(dw) * fw / dw).astype(int)
                 view = view[ys][:, xs]
-            self._photo = _frame_to_photo(self.tk, view)
+            self._photo = _frame_to_photo(self.tk, view, self._photo_codec)
             self.canvas.delete("frame")
             self.canvas.create_image(x0, y0, image=self._photo, anchor="nw", tags="frame")
             self._img_geom = (x0, y0, dw, dh, fw, fh)

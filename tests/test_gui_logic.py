@@ -488,3 +488,30 @@ def test_fullscreen_keys():
     assert fullscreen_key("F11", False, True) == "pass"      # export lock
     assert fullscreen_key("Escape", True, True) == "pass"
     assert fullscreen_key("a", True, False) == "pass"
+
+
+def test_photo_codec_matches_naive_ppm():
+    """PhotoCodec's in-place PPM encode is byte-identical to the naive
+    header + BGR->RGB + tobytes encode, for color and gray, across geometry
+    changes (the buffer rebuilds on a new shape)."""
+    import numpy as np
+
+    from live_video_magnification_tpu.gui import PhotoCodec
+
+    def naive(img):
+        if img.ndim == 2:
+            rgb = np.repeat(img[..., None], 3, axis=-1)
+        else:
+            rgb = img[..., ::-1]
+        h, w = rgb.shape[:2]
+        return (f"P6 {w} {h} 255 ".encode()
+                + np.ascontiguousarray(rgb).tobytes())
+
+    codec = PhotoCodec()
+    rng = np.random.default_rng(1)
+    color = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    gray = rng.integers(0, 255, (32, 40), dtype=np.uint8)
+    assert codec.ppm(color) == naive(color)
+    assert codec.ppm(gray) == naive(gray)          # geometry switch
+    color2 = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    assert codec.ppm(color2) == naive(color2)      # buffer reuse, new content
