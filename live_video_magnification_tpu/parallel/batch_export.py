@@ -152,32 +152,32 @@ class DistributedClipExporter:
         import time as _time
 
         t0 = _time.monotonic()
-        if chunk_len % self.n_shards != 0:
-            # partial tail: replicated run of the same clip fn on the SAME
-            # mesh (bit-compatible carry; every process holds and supplies
-            # the full remainder)
-            if jax.process_count() == 1:
-                garr = jax.device_put(jnp.asarray(frames_u8_local), self._repl)
-            else:
-                garr = jax.make_array_from_process_local_data(
-                    self._repl, frames_u8_local, frames_u8_local.shape)
-            self.state, (outs, pre) = self._plain_chunk(self.state, garr,
-                                                        self._dyn)
+        partial = chunk_len % self.n_shards != 0
+        sharding = self._repl if partial else self._frames_sharding
+        if jax.process_count() == 1:
+            garr = jax.device_put(jnp.asarray(frames_u8_local), sharding)
         else:
-            if jax.process_count() == 1:
-                garr = jax.device_put(jnp.asarray(frames_u8_local),
-                                      self._frames_sharding)
-            else:
-                shape = (chunk_len,) + frames_u8_local.shape[1:]
-                garr = jax.make_array_from_process_local_data(
-                    self._frames_sharding, frames_u8_local, shape)
-            self.state, (outs, pre) = self._sharded_chunk(self.state, garr,
-                                                          self._dyn)
+            shape = (frames_u8_local.shape if partial
+                     else (chunk_len,) + frames_u8_local.shape[1:])
+            garr = jax.make_array_from_process_local_data(
+                sharding, frames_u8_local, shape)
+        if timings is not None:
+            # split the host->device upload out of "process": behind the
+            # relay the upload is tunnel-bound (~170 ms per 1080p frame
+            # measured) and would otherwise masquerade as compute
+            _checksum_sync(garr)
+            t_h2d = _time.monotonic()
+            timings["h2d_s"] = timings.get("h2d_s", 0.0) + (t_h2d - t0)
+            timings.setdefault("h2d_chunks", []).append(t_h2d - t0)
+            t0 = t_h2d
+        chunk_fn = self._plain_chunk if partial else self._sharded_chunk
+        self.state, (outs, pre) = chunk_fn(self.state, garr, self._dyn)
         self.cursor += chunk_len
         if timings is not None:
             _checksum_sync(outs)
             t1 = _time.monotonic()
             timings["process_s"] = timings.get("process_s", 0.0) + (t1 - t0)
+            timings.setdefault("process_chunks", []).append(t1 - t0)
 
         def local(arr):
             # replicated (the partial tail) or single-shard: materialize
@@ -223,6 +223,7 @@ def export_video_distributed(
     checkpoint_every: int = 0,
     stats: Optional[dict] = None,
     prefetch: bool = True,
+    decode_workers: int = 2,
 ) -> str:
     """The config-5 program, single entry point (every process calls this with
     the same arguments; the coordinator returns the final path).
@@ -232,12 +233,15 @@ def export_video_distributed(
     (chunk, shard) — is the global frame order. Returns the final output path
     on process 0 (other processes return their last part path).
 
-    prefetch=True (default) overlaps the host stages with the device: a decode
-    thread keeps the next chunk ready while the current one runs SPMD, and an
+    prefetch=True (default) overlaps the host stages with the device: a pool
+    of `decode_workers` threads decodes upcoming chunks concurrently (chunk
+    decodes are independent re-decodes at different offsets; the round-5
+    stage split measured single-threaded cv2 decode as the end-to-end
+    ceiling — 72/309 ms per 1080p/4K frame vs 12/63 ms compute), and an
     encode thread drains finished chunks into part files — the pipeline
     pattern of the live engine (BoundedQueue semantics, ProcessingChain.hpp
-    frames-in-order invariant: chunks still process strictly in order on
-    device; only the host IO runs concurrently). prefetch=False is the serial
+    frames-in-order invariant: chunks still hit the device strictly in
+    order; only the host IO runs concurrently). prefetch=False is the serial
     reference path (bit-identical output; used for the stage-split A/B).
 
     split/labels compose original|processed panes exactly like the GUI export
@@ -320,6 +324,13 @@ def export_video_distributed(
         pos += clen
         ci += 1
 
+    t_lock = threading.Lock()
+
+    def _acc(key: str, dt: float) -> None:
+        with t_lock:  # decode runs in a pool: same-key accumulation races
+            timings[key] = timings.get(key, 0.0) + dt
+            timings.setdefault(key[:-2] + "_chunks", []).append(dt)
+
     def decode_chunk(item) -> np.ndarray:
         _ci, cpos, _clen, rows, _partial = item
         t0 = _time.monotonic()
@@ -331,8 +342,7 @@ def export_video_distributed(
             )
         local = np.ascontiguousarray(
             np.moveaxis(np.stack(frames), -1, 1))  # [T_local, C, H, W]
-        timings["decode_s"] = (timings.get("decode_s", 0.0)
-                               + (_time.monotonic() - t0))
+        _acc("decode_s", _time.monotonic() - t0)
         return local
 
     def encode_chunk(item, processed: np.ndarray, original: np.ndarray):
@@ -357,8 +367,7 @@ def export_video_distributed(
             wtr = VideoWriterStream(ppath, out_fps)
             wtr.write_chunk(out_hwc)
             part_paths.append((_ci, sh, wtr.close()))
-        timings["encode_s"] = (timings.get("encode_s", 0.0)
-                               + (_time.monotonic() - t0))
+        _acc("encode_s", _time.monotonic() - t0)
 
     def maybe_checkpoint(item, drain=None):
         _ci, _cpos, clen, _rows, _partial = item
@@ -379,19 +388,16 @@ def export_video_distributed(
             encode_chunk(item, processed, original)
             maybe_checkpoint(item)
     else:
-        # decode thread keeps the NEXT chunk ready while this one runs SPMD;
-        # encode thread drains finished chunks — host IO overlaps device
-        # compute, chunks still hit the device strictly in order
-        decoded: _queue.Queue = _queue.Queue(maxsize=2)
+        # a decode POOL keeps the next chunks ready while this one runs SPMD
+        # (chunk decodes are independent: each opens its own capture at its
+        # own offset — the round-5 stage split measured single-threaded cv2
+        # decode as the end-to-end ceiling, 72 ms/frame at 1080p vs 12 ms
+        # compute); an encode thread drains finished chunks. Chunks still hit
+        # the device strictly in order — futures are consumed in plan order.
+        from concurrent.futures import ThreadPoolExecutor
+
         to_encode: _queue.Queue = _queue.Queue(maxsize=2)
         encode_err: List[BaseException] = []
-
-        def decode_worker():
-            try:
-                for item in plan:
-                    decoded.put((item, decode_chunk(item)))
-            except BaseException as e:  # surfaced by the main loop
-                decoded.put((None, e))
 
         def encode_worker():
             while True:
@@ -411,16 +417,29 @@ def export_video_distributed(
             if encode_err:
                 raise encode_err[0]
 
-        dec_t = threading.Thread(target=decode_worker, daemon=True)
         enc_t = threading.Thread(target=encode_worker, daemon=True)
-        dec_t.start()
         enc_t.start()
+        pool = ThreadPoolExecutor(max_workers=max(1, decode_workers),
+                                  thread_name_prefix="lvmt-decode")
         try:
-            for item in plan:
-                got_item, local = decoded.get()
-                if got_item is None:
-                    raise local  # decode error
-                assert got_item[0] == item[0]
+            from collections import deque
+
+            inflight: deque = deque()
+            pending = iter(plan)
+
+            def top_up():
+                # bound decoded-chunks-in-RAM: workers + 1 chunks in flight
+                while len(inflight) < max(2, decode_workers + 1):
+                    item = next(pending, None)
+                    if item is None:
+                        return
+                    inflight.append((item, pool.submit(decode_chunk, item)))
+
+            top_up()
+            while inflight:
+                item, fut = inflight.popleft()
+                local = fut.result()  # decode errors surface here, in order
+                top_up()
                 processed, original = exp.process_chunk(local, item[2],
                                                         timings=timings,
                                                         fetch_original=need_orig)
@@ -428,7 +447,8 @@ def export_video_distributed(
                 maybe_checkpoint(item, drain=drain_encode)
             drain_encode()
         finally:
-            to_encode.put(None)  # stop the encoder; decode thread is daemon
+            pool.shutdown(wait=False, cancel_futures=True)
+            to_encode.put(None)  # stop the encoder
             enc_t.join(timeout=60)
 
     if checkpoint_path and checkpoint_every and rank == 0 and plan:

@@ -81,6 +81,12 @@ def run_config(name: str, w: int, h: int, t: int, chunk: int,
     out = {}
     frame_bytes = w * h * 3
 
+    def steady_ms(chunks, frames_per_chunk):
+        """Median per-frame ms over the warm chunks (drop the first: it
+        carries the compile / first-touch cost)."""
+        warm = sorted(chunks[1:]) if len(chunks) > 1 else chunks
+        return 1e3 * warm[len(warm) // 2] / frames_per_chunk
+
     # serial first (carries the compile; stage split is per-stage busy time)
     st: dict = {}
     t0 = time.monotonic()
@@ -94,7 +100,9 @@ def run_config(name: str, w: int, h: int, t: int, chunk: int,
     out["serial"] = {
         "frames": n,
         "decode_ms_frame": 1e3 * st["decode_s"] / n,
-        "process_ms_frame": 1e3 * st["process_s"] / n,
+        "h2d_ms_frame_steady": steady_ms(st["h2d_chunks"], chunk),
+        "process_ms_frame_incl_compile": 1e3 * st["process_s"] / n,
+        "process_ms_frame_steady": steady_ms(st["process_chunks"], chunk),
         "fetch_ms_frame": 1e3 * st["fetch_s"] / n,
         "encode_ms_frame": 1e3 * st["encode_s"] / n,
         "concat_ms_frame": 1e3 * st["concat_s"] / n,
@@ -105,15 +113,22 @@ def run_config(name: str, w: int, h: int, t: int, chunk: int,
         "fps_excl_fetch": n / (st["wall_s"] - st["fetch_s"]),
     }
     if prefetch_ab:
+        # second run re-jits (each exporter re-jits its own chunk closure);
+        # the steady-state per-chunk numbers below exclude that first-chunk
+        # compile — they show whether the decode pool + encode thread hide
+        # the host IO
         st2: dict = {}
         export_video_distributed(clip, os.path.join(d, "out_pre.avi"), cfg,
-                                 chunk=chunk, stats=st2, prefetch=True)
+                                 chunk=chunk, stats=st2, prefetch=True,
+                                 decode_workers=2)
         out["prefetch"] = {
             "wall_s": st2["wall_s"],
             "fps_end_to_end": st2["frames"] / st2["wall_s"],
             "decode_busy_s": st2["decode_s"],
             "encode_busy_s": st2["encode_s"],
             "process_busy_s": st2["process_s"],
+            "process_ms_frame_steady": steady_ms(st2["process_chunks"],
+                                                 chunk),
             "fetch_busy_s": st2["fetch_s"],
         }
     out["clip_gen_s"] = t_gen
@@ -142,8 +157,8 @@ def main() -> int:
         "configs": {},
     }
     for name, w, h, t, chunk, ab in [
-        ("1080p", 1920, 1080, 16, 8, True),
-        ("4k", 3840, 2160, 8, 8, False),
+        ("1080p", 1920, 1080, 32, 8, True),
+        ("4k", 3840, 2160, 16, 8, False),
     ]:
         print(f"[{name}] {w}x{h} t={t} chunk={chunk}", flush=True)
         try:
