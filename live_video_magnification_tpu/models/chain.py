@@ -89,6 +89,8 @@ class _StaticKey(NamedTuple):
     mxu_dtype: str = "f32"
     mxu_precision: str = "highest"
     conv9_variant: str = "auto"  # must match _conv9_variant's env default
+    tail_io: str = "f32"         # LVMT_TAIL_IO: transient-plane dtype
+    tail_vert: str = "vpu"       # LVMT_TAIL_VERT: vertical-blur formulation
 
 
 class ChainStep(NamedTuple):
@@ -280,6 +282,8 @@ class MagnificationChain:
             os.environ.get("LVMT_MXU_DTYPE", "f32"),
             os.environ.get("LVMT_MXU_PRECISION", "highest").lower(),
             os.environ.get("LVMT_CONV9", "auto"),
+            os.environ.get("LVMT_TAIL_IO", "f32"),
+            os.environ.get("LVMT_TAIL_VERT", "vpu"),
         )
 
     def process(self, frame_u8_hwc, cfg: ProcessorConfig):

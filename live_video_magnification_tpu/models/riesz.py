@@ -279,9 +279,17 @@ def step(
             )
 
             change = hi_res - lo_res
+            # LVMT_TAIL_IO=bf16: the three transient planes (amplitude +
+            # change pair) cross HBM at half the bytes; per-frame
+            # intermediates only, so nothing accumulates the quantization
+            # (the DF-II registers/acc stay f32)
+            from live_video_magnification_tpu.ops.riesz import _tail_io_bf16
+
+            tio = jnp.bfloat16 if _tail_io_bf16() else jnp.float32
             lowpasses.append(
                 riesz_amplify_mxu(
-                    pr.amplitude, change.cos, change.sin,
+                    pr.amplitude.astype(tio), change.cos.astype(tio),
+                    change.sin.astype(tio),
                     cur[lvl].lowpass, cur[lvl].riesz.cos, cur[lvl].riesz.sin,
                     dyn.amplification, dyn.threshold,
                 )

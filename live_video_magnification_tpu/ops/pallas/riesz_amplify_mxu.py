@@ -62,9 +62,34 @@ def _blur_bank() -> np.ndarray:
     return bank
 
 
-def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, bank_ref, lp_ref, rr_ref, ri_ref,
-            out_ref, amp_v, cc_v, cs_v, sems,
-            *, n_blocks: int, preweighted: bool, bf16: bool, prec: str):
+def _vert_bank() -> np.ndarray:
+    """Bv[y, p] = g[p - y] for 0 <= p - y <= 12: the VERTICAL 13-tap blur as
+    one (tile x strip) banded matmul from the left — out = Bv @ strip. The
+    round-5 microbench put the kernel at ~5.7x its traffic bound with the
+    vertical taps as 13 VPU sublane FMAs per block; this moves them to the
+    MXU (one matmul per blur per tile instead of 13x3 VPU passes per
+    256-lane slab). Shape (_TILE, _STRIP); the 4 alignment rows past
+    y+12 = 75 carry zero taps by construction."""
+    bank = np.zeros((_TILE, _STRIP), np.float32)
+    for y in range(_TILE):
+        for b in range(13):
+            bank[y, y + b] = _TAPS[b]
+    return bank
+
+
+def _tail_vert_mode() -> str:
+    """LVMT_TAIL_VERT in {vpu, mxu}: vertical-blur formulation inside
+    riesz_amplify_mxu. Trace-time env read, threaded STATIC into _run and
+    keyed into the chain jit cache (models/chain.py)."""
+    import os
+
+    return os.environ.get("LVMT_TAIL_VERT", "vpu")
+
+
+def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, vbank_ref, bank_ref, lp_ref,
+            rr_ref, ri_ref, out_ref, amp_v, cc_v, cs_v, sems,
+            *, n_blocks: int, preweighted: bool, bf16: bool, prec: str,
+            vert_mxu: bool):
     ti = pl.program_id(0)
     alpha = scalars[0, 0]
     threshold = scalars[0, 1]
@@ -79,23 +104,48 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, bank_ref, lp_ref, rr_ref, ri_ref,
     for cp in copies:
         cp.wait()
 
+    if vert_mxu:
+        # vertical 13-tap as ONE left-banded matmul per blur over the whole
+        # strip width (LVMT_TAIL_VERT=mxu): V = Bv @ strip, (tile x strip)
+        # @ (strip x wp) — ~120 MFLOP/step on the MXU replaces ~39 VPU tap
+        # passes (round-5 microbench: the kernel sat at 5.7x traffic bound)
+        vb = vbank_ref[:]
+        amp_strip = amp_v[:].astype(jnp.float32)
+        if preweighted:
+            w_cc = cc_v[:].astype(jnp.float32)
+            w_cs = cs_v[:].astype(jnp.float32)
+        else:
+            w_cc = cc_v[:].astype(jnp.float32) * amp_strip
+            w_cs = cs_v[:].astype(jnp.float32) * amp_strip
+        v_amp = _mxu_dot(vb, amp_strip, bf16, prec)
+        v_cc = _mxu_dot(vb, w_cc, bf16, prec)
+        v_cs = _mxu_dot(vb, w_cs, bf16, prec)
+
     for j in range(n_blocks):
         cols = slice(j * _LANES, j * _LANES + 2 * _LANES)
 
         def vert(strip_ref, weight_ref=None):
+            # strips may arrive bf16 (LVMT_TAIL_IO=bf16: transient planes at
+            # half the HBM bytes); accumulate the taps in f32 regardless
             acc = None
             for a in range(13):
-                term = strip_ref[a : a + _TILE, cols]
+                term = strip_ref[a : a + _TILE, cols].astype(jnp.float32)
                 if weight_ref is not None:
-                    term = term * weight_ref[a : a + _TILE, cols]
+                    term = term * weight_ref[a : a + _TILE, cols].astype(
+                        jnp.float32)
                 term = term * _TAPS[a]
                 acc = term if acc is None else acc + term
             return acc
 
-        ba = _mxu_dot(vert(amp_v), bank_ref[:], bf16, prec)
-        wref = None if preweighted else amp_v
-        bc = _mxu_dot(vert(cc_v, wref), bank_ref[:], bf16, prec)
-        bs = _mxu_dot(vert(cs_v, wref), bank_ref[:], bf16, prec)
+        if vert_mxu:
+            ba = _mxu_dot(v_amp[:, cols], bank_ref[:], bf16, prec)
+            bc = _mxu_dot(v_cc[:, cols], bank_ref[:], bf16, prec)
+            bs = _mxu_dot(v_cs[:, cols], bank_ref[:], bf16, prec)
+        else:
+            ba = _mxu_dot(vert(amp_v), bank_ref[:], bf16, prec)
+            wref = None if preweighted else amp_v
+            bc = _mxu_dot(vert(cc_v, wref), bank_ref[:], bf16, prec)
+            bs = _mxu_dot(vert(cs_v, wref), bank_ref[:], bf16, prec)
 
         nc = bc / ba
         ns = bs / ba
@@ -109,27 +159,31 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, bank_ref, lp_ref, rr_ref, ri_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "preweighted", "bf16", "prec")
+    jax.jit, static_argnames=("interpret", "preweighted", "bf16", "prec",
+                              "vert_mxu")
 )
 def _run(scalars, amp_p, cc_p, cs_p, lp_a, rr_a, ri_a,
          interpret: bool = False, preweighted: bool = False,
-         bf16: bool = False, prec: str = "highest"):
+         bf16: bool = False, prec: str = "highest", vert_mxu: bool = False):
     hp, wp = amp_p.shape          # (n_tiles*_TILE + _STRIP - _TILE, blocks*128 + 128)
     h_out, w_pad = lp_a.shape     # aligned output size
     n_tiles = h_out // _TILE
     n_blocks = w_pad // _LANES
     kernel = functools.partial(_kernel, n_blocks=n_blocks,
-                               preweighted=preweighted, bf16=bf16, prec=prec)
+                               preweighted=preweighted, bf16=bf16, prec=prec,
+                               vert_mxu=vert_mxu)
     bank = jnp.asarray(_blur_bank())
+    vbank = jnp.asarray(_vert_bank())
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        + [pl.BlockSpec((_TILE, _STRIP), lambda i: (0, 0))]
         + [pl.BlockSpec((2 * _LANES, _LANES), lambda i: (0, 0))]
         + [pl.BlockSpec((_TILE, w_pad), lambda i: (i, 0))] * 3,
         out_specs=pl.BlockSpec((_TILE, w_pad), lambda i: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((_STRIP, wp), jnp.float32)] * 3
+        scratch_shapes=[pltpu.VMEM((_STRIP, wp), amp_p.dtype)] * 3
         + [pltpu.SemaphoreType.DMA((3,))],
     )
     return pl.pallas_call(
@@ -137,7 +191,7 @@ def _run(scalars, amp_p, cc_p, cs_p, lp_a, rr_a, ri_a,
         out_shape=jax.ShapeDtypeStruct((h_out, w_pad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(scalars, amp_p, cc_p, cs_p, bank, lp_a, rr_a, ri_a)
+    )(scalars, amp_p, cc_p, cs_p, vbank, bank, lp_a, rr_a, ri_a)
 
 
 def riesz_amplify_mxu(
@@ -151,11 +205,13 @@ def riesz_amplify_mxu(
     threshold,
     interpret: bool = False,
     preweighted: bool = False,
+    vert: str | None = None,
 ) -> jnp.ndarray:
     """Fused normalize+amplify for one [H, W] level via MXU-banded blurs.
     Same semantics as riesz_amplify_fused (normalize_phase + amplify_level of
     ops/riesz.py); preweighted=True means change_c/s already carry the
-    amplitude factor."""
+    amplitude factor. vert: 'vpu' (13 sublane FMAs per block) or 'mxu' (one
+    left-banded matmul per blur per tile); None reads LVMT_TAIL_VERT."""
     h, w = amplitude.shape
     h_out = -(-h // _TILE) * _TILE
     n_blocks = -(-w // _LANES)
@@ -182,5 +238,6 @@ def riesz_amplify_mxu(
     out = _run(scalars, prep_blur(amplitude), prep_blur(change_c),
                prep_blur(change_s), prep_ew(lowpass), prep_ew(riesz_r),
                prep_ew(riesz_i), interpret=interpret, preweighted=preweighted,
-               bf16=_mxu_bf16(), prec=_mxu_precision_name())
+               bf16=_mxu_bf16(), prec=_mxu_precision_name(),
+               vert_mxu=(vert or _tail_vert_mode()) == "mxu")
     return out[:h, :w]

@@ -99,6 +99,16 @@ def _use_amplify_kernel() -> bool:
     return _tail_mode() == "pallas"
 
 
+def _tail_io_bf16() -> bool:
+    """LVMT_TAIL_IO=bf16: the TRANSIENT planes feeding the MXU tail
+    (amplitude + phase-change pair) are written/read as bfloat16 — half the
+    HBM bytes on 3 writes + 3 halo'd strip reads per level. Safe to quantize
+    because these planes are per-frame intermediates: nothing accumulates
+    across frames (the DF-II registers and phase accumulator stay f32).
+    Trace-time flag, keyed into the chain jit cache (models/chain.py)."""
+    return os.environ.get("LVMT_TAIL_IO", "f32") == "bf16"
+
+
 def _hybrid_bf16(lvl: int):
     """Per-level (conv_bf16, band_bf16) for the MXU fast modes; None = the
     plain env-driven f32/bf16 resolution inside the kernels.

@@ -208,6 +208,8 @@ def test_chain_static_key_tracks_every_kernel_variant_flag(monkeypatch):
         ("LVMT_MXU_DTYPE", "f32", ["bf16", "hybrid", "hybrid-band"]),
         ("LVMT_CONV9", "auto", ["dense", "svd"]),
         ("LVMT_MXU_PRECISION", "highest", ["high", "default"]),
+        ("LVMT_TAIL_IO", "f32", ["bf16"]),
+        ("LVMT_TAIL_VERT", "vpu", ["mxu"]),
     ]:
         monkeypatch.delenv(var, raising=False)
         unset_key = key()

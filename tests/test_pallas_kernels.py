@@ -193,6 +193,60 @@ def test_riesz_amplify_mxu_matches_ops(h, w, preweighted):
                                rtol=1e-4)
 
 
+@pytest.mark.parametrize("h,w,preweighted", [(96, 200, False), (130, 250, True)])
+def test_riesz_amplify_mxu_vert_mxu_matches_vpu(h, w, preweighted):
+    """LVMT_TAIL_VERT=mxu (vertical 13-tap as one left-banded matmul per
+    blur) == the vpu tap-accumulation formulation, both preweighted layouts
+    (round-5 kernel lever: the vpu taps held the kernel at ~5.7x its traffic
+    bound on chip)."""
+    from live_video_magnification_tpu.ops.pallas.riesz_amplify_mxu import (
+        riesz_amplify_mxu,
+    )
+
+    r = lambda: jnp.asarray(RNG.random((h, w)).astype(np.float32) - 0.3)
+    amplitude = jnp.abs(r()) + 0.05
+    cc, cs = r() * 0.4, r() * 0.4
+    lp, rr, ri = r() * 50.0, r(), r()
+    alpha, threshold = 30.0, 1.2
+
+    ref = riesz_amplify_mxu(amplitude, cc, cs, lp, rr, ri, alpha, threshold,
+                            interpret=True, preweighted=preweighted,
+                            vert="vpu")
+    got = riesz_amplify_mxu(amplitude, cc, cs, lp, rr, ri, alpha, threshold,
+                            interpret=True, preweighted=preweighted,
+                            vert="mxu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4,
+                               rtol=1e-4)
+
+
+def test_riesz_amplify_mxu_bf16_transients_close_to_f32():
+    """LVMT_TAIL_IO=bf16 path: the kernel accepts bfloat16 amplitude/change
+    planes (half the strip HBM bytes) and stays within bf16 quantization of
+    the f32 result — the transients carry no cross-frame state, so the error
+    cannot accumulate (round-5 fast-mode lever)."""
+    from live_video_magnification_tpu.ops.pallas.riesz_amplify_mxu import (
+        riesz_amplify_mxu,
+    )
+
+    h, w = 96, 200
+    r = lambda: jnp.asarray(RNG.random((h, w)).astype(np.float32) - 0.3)
+    amplitude = jnp.abs(r()) + 0.05
+    cc, cs = r() * 0.4, r() * 0.4
+    lp, rr, ri = r() * 50.0, r(), r()
+    alpha, threshold = 30.0, 1.2
+
+    ref = riesz_amplify_mxu(amplitude, cc, cs, lp, rr, ri, alpha, threshold,
+                            interpret=True)
+    got = riesz_amplify_mxu(
+        amplitude.astype(jnp.bfloat16), cc.astype(jnp.bfloat16),
+        cs.astype(jnp.bfloat16), lp, rr, ri, alpha, threshold, interpret=True)
+    assert got.dtype == jnp.float32
+    # bf16 has an 8-bit mantissa: relative tolerance ~1/256 against the
+    # output scale (lowpass magnitude ~50)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.5,
+                               rtol=2e-2)
+
+
 @pytest.mark.parametrize("h,w", [(128, 128), (130, 250), (96, 200), (135, 240)])
 def test_band5_mxu_matches_correlate_rows_cols(h, w):
     from live_video_magnification_tpu.ops.pallas.conv9_mxu import band5_mxu
