@@ -358,9 +358,11 @@ def run_matrix(steps: int) -> list:
     def bf16_4k():
         import os as _os
 
-        prev = {k: _os.environ.get(k) for k in ("LVMT_MXU_DTYPE", "LVMT_TAIL")}
+        prev = {k: _os.environ.get(k)
+                for k in ("LVMT_MXU_DTYPE", "LVMT_TAIL", "LVMT_TAIL_IO")}
         _os.environ["LVMT_MXU_DTYPE"] = "bf16"
         _os.environ["LVMT_TAIL"] = "mxu"  # measured best fast-mode pairing
+        _os.environ["LVMT_TAIL_IO"] = "bf16"  # round-5 pairing (R5_TAILDB_AB)
         try:
             return bench_mode_scan("phase", 2160, 3840, 6, steps)
         finally:  # restore the caller's setting, not a hardcoded default
@@ -371,12 +373,13 @@ def run_matrix(steps: int) -> list:
                     _os.environ[k] = v
 
     add("phase_4k_bf16_fastmode_fps_per_chip", 60.0, bf16_4k,
-        note="LVMT_MXU_DTYPE=bf16 + LVMT_TAIL=mxu opt-in fast mode "
-             "(bf16-operand banded stencils + MXU-banded blur tail, the "
-             "measured best pairing: 8.42 vs 8.74 ms/frame jnp-tail, "
-             "R4_CAMPAIGN.json): 44.1 dB vs the f32 path on harsh synthetic "
-             "720p content, 48.8 dB worst-frame vs the compiled reference "
-             "on realistic footage; default stays f32")
+        note="LVMT_MXU_DTYPE=bf16 + LVMT_TAIL=mxu + LVMT_TAIL_IO=bf16 "
+             "opt-in fast mode (bf16 banded stencils + MXU-banded blur tail "
+             "with MXU vertical taps, double-buffered strips, bf16 "
+             "transients — round-5 pairing, 8.19 -> 7.59/7.69 ms same-"
+             "session A/Bs R5_TAILIO_AB/R5_TAILDB_AB): 44.1 dB vs the f32 "
+             "path on harsh synthetic 720p content, 48.8 dB worst-frame vs "
+             "the compiled reference on realistic footage; default stays f32")
     add("phase_1080p_timeparallel_fps_per_chip", 60.0,
         lambda: bench_time_parallel("phase", 1080, 1920, 6, t_chunk=8),
         note="process_clip_parallel T=8 chunk (config-5 single-chip proxy)")
@@ -541,9 +544,11 @@ def main() -> int:
         # bound: TPU_REFERENCE_PARITY.json) as an extra field, same session
         import os as _os
 
-        prev = {k: _os.environ.get(k) for k in ("LVMT_MXU_DTYPE", "LVMT_TAIL")}
+        prev = {k: _os.environ.get(k)
+                for k in ("LVMT_MXU_DTYPE", "LVMT_TAIL", "LVMT_TAIL_IO")}
         _os.environ["LVMT_MXU_DTYPE"] = "bf16"
         _os.environ["LVMT_TAIL"] = "mxu"
+        _os.environ["LVMT_TAIL_IO"] = "bf16"
         try:
             rf = bench_mode_scan(args.mode, h, w, levels, args.steps)
             entry["fast_mode_fps"] = round(rf["fps"], 2)

@@ -43,18 +43,21 @@ def _add_mag_args(p: argparse.ArgumentParser) -> None:
 
 
 def _apply_fast_mode(args) -> None:
-    """--fast sets LVMT_MXU_DTYPE=bf16 + LVMT_TAIL=mxu BEFORE any chain is
-    built (both flags are resolved into the jit-cache key at chain build
-    time). bf16 + the MXU-banded blur tail is the measured best fast-mode
-    pairing: 8.42 vs 8.74 ms/4K-frame (R4_CAMPAIGN.json); explicit env
-    settings of either flag still win."""
+    """--fast sets LVMT_MXU_DTYPE=bf16 + LVMT_TAIL=mxu + LVMT_TAIL_IO=bf16
+    BEFORE any chain is built (all flags are resolved into the jit-cache key
+    at chain build time). bf16 stencils + the MXU-banded blur tail (MXU
+    vertical taps, double-buffered strips, bf16 transients) is the measured
+    best fast-mode pairing: 8.19 -> 7.59/7.69 ms/4K-frame same-session
+    (R5_TAILIO_AB.json / R5_TAILDB_AB.json, identical 44.1 dB); explicit env
+    settings of any flag still win."""
     import os
 
     if getattr(args, "fast", False):
-        # setdefault for BOTH: an explicit env setting (e.g. a hybrid A/B)
+        # setdefault for ALL: an explicit env setting (e.g. a hybrid A/B)
         # always wins over the flag's default pairing
         os.environ.setdefault("LVMT_MXU_DTYPE", "bf16")
         os.environ.setdefault("LVMT_TAIL", "mxu")
+        os.environ.setdefault("LVMT_TAIL_IO", "bf16")
 
 
 def _config_from_args(args, source_fps: float):

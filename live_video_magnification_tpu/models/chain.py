@@ -90,7 +90,8 @@ class _StaticKey(NamedTuple):
     mxu_precision: str = "highest"
     conv9_variant: str = "auto"  # must match _conv9_variant's env default
     tail_io: str = "f32"         # LVMT_TAIL_IO: transient-plane dtype
-    tail_vert: str = "vpu"       # LVMT_TAIL_VERT: vertical-blur formulation
+    tail_vert: str = "mxu"       # LVMT_TAIL_VERT: vertical-blur formulation
+    tail_db: str = "auto"        # LVMT_TAIL_DB: strip-DMA double buffering
 
 
 class ChainStep(NamedTuple):
@@ -283,7 +284,8 @@ class MagnificationChain:
             os.environ.get("LVMT_MXU_PRECISION", "highest").lower(),
             os.environ.get("LVMT_CONV9", "auto"),
             os.environ.get("LVMT_TAIL_IO", "f32"),
-            os.environ.get("LVMT_TAIL_VERT", "vpu"),
+            os.environ.get("LVMT_TAIL_VERT", "mxu"),
+            os.environ.get("LVMT_TAIL_DB", "auto"),
         )
 
     def process(self, frame_u8_hwc, cfg: ProcessorConfig):

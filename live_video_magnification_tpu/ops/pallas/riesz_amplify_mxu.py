@@ -78,31 +78,68 @@ def _vert_bank() -> np.ndarray:
 
 
 def _tail_vert_mode() -> str:
-    """LVMT_TAIL_VERT in {vpu, mxu}: vertical-blur formulation inside
-    riesz_amplify_mxu. Trace-time env read, threaded STATIC into _run and
-    keyed into the chain jit cache (models/chain.py)."""
+    """LVMT_TAIL_VERT in {mxu, vpu}: vertical-blur formulation inside
+    riesz_amplify_mxu. Default mxu since the round-5 A/B (R5_TAILIO_AB.json:
+    8.19 -> 7.61 ms/4K-frame bf16 fast mode, identical 44.1 dB; also wins at
+    f32 operands). vpu kept for A/B. Trace-time env read, threaded STATIC
+    into _run and keyed into the chain jit cache (models/chain.py)."""
     import os
 
-    return os.environ.get("LVMT_TAIL_VERT", "vpu")
+    return os.environ.get("LVMT_TAIL_VERT", "mxu")
 
 
 def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, vbank_ref, bank_ref, lp_ref,
             rr_ref, ri_ref, out_ref, amp_v, cc_v, cs_v, sems,
             *, n_blocks: int, preweighted: bool, bf16: bool, prec: str,
-            vert_mxu: bool):
+            vert_mxu: bool, db: bool):
     ti = pl.program_id(0)
     alpha = scalars[0, 0]
     threshold = scalars[0, 1]
+    srcs = [amp_hbm, cc_hbm, cs_hbm]
+    dsts = [amp_v, cc_v, cs_v]
 
-    copies = []
-    for k, (src, dst) in enumerate([(amp_hbm, amp_v), (cc_hbm, cc_v),
-                                    (cs_hbm, cs_v)]):
-        cp = pltpu.make_async_copy(src.at[pl.ds(ti * _TILE, _STRIP), :], dst,
-                                   sems.at[k])
-        cp.start()
-        copies.append(cp)
-    for cp in copies:
-        cp.wait()
+    if db:
+        # cross-step double buffer (LVMT_TAIL_DB): step ti prefetches step
+        # ti+1's strips into the other slot while computing — the manual
+        # strip DMAs were the one non-pipelined transfer left (the blocked
+        # lp/rr/ri/out are pipelined by the grid machinery)
+        def dma(slot, t, k):
+            return pltpu.make_async_copy(
+                srcs[k].at[pl.ds(t * _TILE, _STRIP), :], dsts[k].at[slot],
+                sems.at[slot, k])
+
+        slot = jax.lax.rem(ti, 2)
+
+        @pl.when(ti == 0)
+        def _():
+            for k in range(3):
+                dma(0, 0, k).start()
+
+        @pl.when(ti + 1 < pl.num_programs(0))
+        def _():
+            nxt = jax.lax.rem(ti + 1, 2)
+            for k in range(3):
+                dma(nxt, ti + 1, k).start()
+
+        for k in range(3):
+            dma(slot, ti, k).wait()
+
+        def strip(k):
+            return dsts[k].at[slot]
+    else:
+        copies = []
+        for k in range(3):
+            cp = pltpu.make_async_copy(
+                srcs[k].at[pl.ds(ti * _TILE, _STRIP), :], dsts[k], sems.at[k])
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
+
+        def strip(k):
+            return dsts[k]
+
+    amp_s, cc_s, cs_s = strip(0), strip(1), strip(2)
 
     if vert_mxu:
         # vertical 13-tap as ONE left-banded matmul per blur over the whole
@@ -110,13 +147,13 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, vbank_ref, bank_ref, lp_ref,
         # @ (strip x wp) — ~120 MFLOP/step on the MXU replaces ~39 VPU tap
         # passes (round-5 microbench: the kernel sat at 5.7x traffic bound)
         vb = vbank_ref[:]
-        amp_strip = amp_v[:].astype(jnp.float32)
+        amp_strip = amp_s[:].astype(jnp.float32)
         if preweighted:
-            w_cc = cc_v[:].astype(jnp.float32)
-            w_cs = cs_v[:].astype(jnp.float32)
+            w_cc = cc_s[:].astype(jnp.float32)
+            w_cs = cs_s[:].astype(jnp.float32)
         else:
-            w_cc = cc_v[:].astype(jnp.float32) * amp_strip
-            w_cs = cs_v[:].astype(jnp.float32) * amp_strip
+            w_cc = cc_s[:].astype(jnp.float32) * amp_strip
+            w_cs = cs_s[:].astype(jnp.float32) * amp_strip
         v_amp = _mxu_dot(vb, amp_strip, bf16, prec)
         v_cc = _mxu_dot(vb, w_cc, bf16, prec)
         v_cs = _mxu_dot(vb, w_cs, bf16, prec)
@@ -142,10 +179,10 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, vbank_ref, bank_ref, lp_ref,
             bc = _mxu_dot(v_cc[:, cols], bank_ref[:], bf16, prec)
             bs = _mxu_dot(v_cs[:, cols], bank_ref[:], bf16, prec)
         else:
-            ba = _mxu_dot(vert(amp_v), bank_ref[:], bf16, prec)
-            wref = None if preweighted else amp_v
-            bc = _mxu_dot(vert(cc_v, wref), bank_ref[:], bf16, prec)
-            bs = _mxu_dot(vert(cs_v, wref), bank_ref[:], bf16, prec)
+            ba = _mxu_dot(vert(amp_s), bank_ref[:], bf16, prec)
+            wref = None if preweighted else amp_s
+            bc = _mxu_dot(vert(cc_s, wref), bank_ref[:], bf16, prec)
+            bs = _mxu_dot(vert(cs_s, wref), bank_ref[:], bf16, prec)
 
         nc = bc / ba
         ns = bs / ba
@@ -158,22 +195,45 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, vbank_ref, bank_ref, lp_ref,
                              - pair * jnp.sin(mag2))
 
 
+def _db_mode() -> str:
+    """LVMT_TAIL_DB in {auto, 0, 1}: cross-step double buffering of the
+    halo'd strip DMAs. auto = on whenever the two strip slots + pipelined
+    block buffers fit VMEM comfortably (always at bf16 strips; at f32 only
+    below ~3000 padded columns). Trace-time env read, keyed into the chain
+    jit cache (models/chain.py)."""
+    import os
+
+    return os.environ.get("LVMT_TAIL_DB", "auto")
+
+
+def _resolve_db(dtype, wp: int, mode: str) -> bool:
+    if mode in ("0", "1"):
+        return mode == "1"
+    itemsize = jnp.dtype(dtype).itemsize
+    # 2 slots x 3 strips + 2x-pipelined 4 blocked (TILE, wp) f32 buffers
+    est = 2 * 3 * _STRIP * wp * itemsize + 2 * 4 * _TILE * wp * 4
+    return est <= 14 * 1024 * 1024
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "preweighted", "bf16", "prec",
-                              "vert_mxu")
+                              "vert_mxu", "db")
 )
 def _run(scalars, amp_p, cc_p, cs_p, lp_a, rr_a, ri_a,
          interpret: bool = False, preweighted: bool = False,
-         bf16: bool = False, prec: str = "highest", vert_mxu: bool = False):
+         bf16: bool = False, prec: str = "highest", vert_mxu: bool = False,
+         db: bool = False):
     hp, wp = amp_p.shape          # (n_tiles*_TILE + _STRIP - _TILE, blocks*128 + 128)
     h_out, w_pad = lp_a.shape     # aligned output size
     n_tiles = h_out // _TILE
     n_blocks = w_pad // _LANES
     kernel = functools.partial(_kernel, n_blocks=n_blocks,
                                preweighted=preweighted, bf16=bf16, prec=prec,
-                               vert_mxu=vert_mxu)
+                               vert_mxu=vert_mxu, db=db)
     bank = jnp.asarray(_blur_bank())
     vbank = jnp.asarray(_vert_bank())
+    strip_shape = (2, _STRIP, wp) if db else (_STRIP, wp)
+    sem_shape = (2, 3) if db else (3,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
@@ -183,8 +243,8 @@ def _run(scalars, amp_p, cc_p, cs_p, lp_a, rr_a, ri_a,
         + [pl.BlockSpec((2 * _LANES, _LANES), lambda i: (0, 0))]
         + [pl.BlockSpec((_TILE, w_pad), lambda i: (i, 0))] * 3,
         out_specs=pl.BlockSpec((_TILE, w_pad), lambda i: (i, 0)),
-        scratch_shapes=[pltpu.VMEM((_STRIP, wp), amp_p.dtype)] * 3
-        + [pltpu.SemaphoreType.DMA((3,))],
+        scratch_shapes=[pltpu.VMEM(strip_shape, amp_p.dtype)] * 3
+        + [pltpu.SemaphoreType.DMA(sem_shape)],
     )
     return pl.pallas_call(
         kernel,
@@ -239,5 +299,6 @@ def riesz_amplify_mxu(
                prep_blur(change_s), prep_ew(lowpass), prep_ew(riesz_r),
                prep_ew(riesz_i), interpret=interpret, preweighted=preweighted,
                bf16=_mxu_bf16(), prec=_mxu_precision_name(),
-               vert_mxu=(vert or _tail_vert_mode()) == "mxu")
+               vert_mxu=(vert or _tail_vert_mode()) == "mxu",
+               db=_resolve_db(amplitude.dtype, wp, _db_mode()))
     return out[:h, :w]

@@ -209,7 +209,8 @@ def test_chain_static_key_tracks_every_kernel_variant_flag(monkeypatch):
         ("LVMT_CONV9", "auto", ["dense", "svd"]),
         ("LVMT_MXU_PRECISION", "highest", ["high", "default"]),
         ("LVMT_TAIL_IO", "f32", ["bf16"]),
-        ("LVMT_TAIL_VERT", "vpu", ["mxu"]),
+        ("LVMT_TAIL_VERT", "mxu", ["vpu"]),
+        ("LVMT_TAIL_DB", "auto", ["0", "1"]),
     ]:
         monkeypatch.delenv(var, raising=False)
         unset_key = key()

@@ -21,11 +21,13 @@ from functools import partial
 sys.path.insert(0, "/root/repo")
 
 
-def _set_env(tail: str, dtype: str, tail_io: str, vert: str = "vpu") -> None:
+def _set_env(tail: str, dtype: str, tail_io: str, vert: str = "vpu",
+             db: str = "0") -> None:
     os.environ["LVMT_TAIL"] = tail
     os.environ["LVMT_MXU_DTYPE"] = dtype
     os.environ["LVMT_TAIL_IO"] = tail_io
     os.environ["LVMT_TAIL_VERT"] = vert
+    os.environ["LVMT_TAIL_DB"] = db
 
 
 def main() -> int:
@@ -59,11 +61,10 @@ def main() -> int:
               "timing_4k": {}, "accuracy_720p_vs_f32": {}}
 
     variants = [
-        ("bf16_mxu_base", "mxu", "bf16", "f32", "vpu"),      # round-4 fast mode
-        ("bf16_mxu_vmxu", "mxu", "bf16", "f32", "mxu"),      # MXU vertical blur
-        ("bf16_mxu_bf16io", "mxu", "bf16", "bf16", "vpu"),   # bf16 transients
-        ("bf16_mxu_both", "mxu", "bf16", "bf16", "mxu"),     # both levers
-        ("f32_mxu_vmxu", "mxu", "f32", "f32", "mxu"),        # f32 + MXU vert
+        ("bf16_vmxu_db0", "mxu", "bf16", "f32", "mxu", "0"),
+        ("bf16_vmxu_db1", "mxu", "bf16", "f32", "mxu", "1"),
+        ("bf16_vmxu_bf16io_db1", "mxu", "bf16", "bf16", "mxu", "1"),
+        ("f32_vmxu_db1", "mxu", "f32", "f32", "mxu", "1"),
     ]
 
     h, w, levels, steps = 2160, 3840, 6, 20
@@ -102,8 +103,8 @@ def main() -> int:
         }
         print(f"4K {name}: {ms:.2f} ms/frame ({1e3/ms:.1f} fps)", flush=True)
 
-    for name, tail, dtype, tio, vert in variants:
-        _set_env(tail, dtype, tio, vert)
+    for name, tail, dtype, tio, vert, db in variants:
+        _set_env(tail, dtype, tio, vert, db)
         try:
             time_variant(name)
         except Exception as e:
@@ -132,8 +133,8 @@ def main() -> int:
 
     _set_env("jnp", "f32", "f32")
     ref = run_clip()
-    for name, tail, dtype, tio, vert in variants:
-        _set_env(tail, dtype, tio, vert)
+    for name, tail, dtype, tio, vert, db in variants:
+        _set_env(tail, dtype, tio, vert, db)
         try:
             got = run_clip()
             d = int(jax.jit(lambda a, b: jnp.max(jnp.abs(
