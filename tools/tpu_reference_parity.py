@@ -85,17 +85,20 @@ def main() -> int:
     }
 
     # fast mode == the shipping --fast pairing: bf16 operands + the MXU blur
-    # tail (round 4, R4_CAMPAIGN.json)
+    # tail + bf16 transients (round 5, R5_TAILDB_AB.json; the MXU vertical
+    # taps and auto double buffering are the in-kernel defaults)
     fast_modes = [("f32", {"LVMT_MXU_DTYPE": "f32"})]
     if "--fast-too" in sys.argv:
         fast_modes.append(("bf16", {"LVMT_MXU_DTYPE": "bf16",
-                                    "LVMT_TAIL": "mxu"}))
+                                    "LVMT_TAIL": "mxu",
+                                    "LVMT_TAIL_IO": "bf16"}))
 
     for mode, (ref_kw, mag) in configs.items():
         frames = realistic_clip(t, h, w, FPS, seed=31)
         ref = run_reference(binary, mode, frames, fps=FPS, **ref_kw)
         for label, env in fast_modes:
             _os.environ.pop("LVMT_TAIL", None)
+            _os.environ.pop("LVMT_TAIL_IO", None)
             for k, v in env.items():
                 _os.environ[k] = v
             chain = MagnificationChain()
@@ -118,6 +121,7 @@ def main() -> int:
                   f"({'PASS' if worst > 40 else 'FAIL'})", flush=True)
         _os.environ["LVMT_MXU_DTYPE"] = "f32"
         _os.environ.pop("LVMT_TAIL", None)
+        _os.environ.pop("LVMT_TAIL_IO", None)
 
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
