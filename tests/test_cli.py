@@ -216,15 +216,17 @@ def test_magnify_fast_flag_sets_mxu_dtype(clip_path, tmp_path, monkeypatch):
     # mutates the real environment, and a leaked bf16 flag would flip every
     # later pallas golden test into the fast mode), then delenv so --fast's
     # defaults apply.
-    for var in ("LVMT_MXU_DTYPE", "LVMT_TAIL"):
+    for var in ("LVMT_MXU_DTYPE", "LVMT_TAIL", "LVMT_TAIL_IO"):
         monkeypatch.setenv(var, "sentinel")
         monkeypatch.delenv(var)
     out = str(tmp_path / "fast.avi")
     assert cli.main(["magnify", clip_path, out, "--mode", "laplace",
                      "--chunk", "5", "--end", "6", "--fast"]) == 0
     assert os.environ.get("LVMT_MXU_DTYPE") == "bf16"
-    # the measured best fast-mode pairing includes the MXU blur tail
+    # the measured best fast-mode pairing includes the MXU blur tail and
+    # bf16 transient planes (round 5, R5_TAILDB_AB.json)
     assert os.environ.get("LVMT_TAIL") == "mxu"
+    assert os.environ.get("LVMT_TAIL_IO") == "bf16"
     assert _read(out).shape[0] == 6
     # explicit env settings win over the flag's defaults (code-review r4)
     monkeypatch.setenv("LVMT_MXU_DTYPE", "hybrid")
