@@ -37,6 +37,7 @@ def main() -> int:
     out = sys.argv[4]
     end = int(sys.argv[5]) if len(sys.argv) > 5 and sys.argv[5] != "-" else None
     checkpoint = sys.argv[6] if len(sys.argv) > 6 and sys.argv[6] != "-" else None
+    keep_parts = len(sys.argv) > 7 and sys.argv[7] == "keep"
 
     from live_video_magnification_tpu.models.params import (
         MagnificationMode,
@@ -70,6 +71,7 @@ def main() -> int:
     try:
         final = export_video_distributed(
             clip, out, cfg, chunk=8, end=end,
+            keep_parts=keep_parts,
             checkpoint_path=checkpoint,
             checkpoint_every=8 if checkpoint else 0,
             stats=stats,

@@ -130,3 +130,38 @@ def test_two_process_missing_parts_is_coordinator_error(tmp_path):
     assert "shared" in payload0["error"]  # the actionable storage hint
     assert rc1 == 0 and payload1["error"] is None
     assert not (shared / "out.avi").exists()
+
+
+def test_two_process_checkpoint_resume(tmp_path):
+    """Checkpoint/resume across REAL 2-process runs: run A exports [0, 8)
+    with a checkpoint (parts kept), run B resumes to the end — every rank
+    loads the checkpoint, completed chunks' parts are reused, and the final
+    file is bit-identical to the uninterrupted single-process export."""
+    from live_video_magnification_tpu.io.video import read_video
+    from live_video_magnification_tpu.parallel.batch_export import (
+        export_video_distributed,
+    )
+
+    clip = _tiny_clip(tmp_path, t=16)
+    out = str(tmp_path / "mp.avi")
+    ck = str(tmp_path / "ck")
+
+    port = _free_port()
+    results = _run_two_ranks([[port, clip, out, 8, ck, "keep"],
+                              [port, clip, out, 8, ck, "keep"]])
+    for rank, (rc, payload, stderr) in enumerate(results):
+        assert rc == 0, f"run A rank {rank} failed:\n{stderr[-2000:]}"
+    assert (tmp_path / "ck.npz").exists()
+    # chunk 0's kept parts are reused; only [8, 16) is processed in run B
+    port = _free_port()
+    results = _run_two_ranks([[port, clip, out, "-", ck],
+                              [port, clip, out, "-", ck]])
+    for rank, (rc, payload, stderr) in enumerate(results):
+        assert rc == 0, f"run B rank {rank} failed:\n{stderr[-2000:]}"
+
+    out_sp = str(tmp_path / "sp.avi")
+    export_video_distributed(clip, out_sp, _phase_cfg(), chunk=8)
+    got, _ = read_video(out)
+    want, _ = read_video(out_sp)
+    assert got.shape[0] == 16
+    np.testing.assert_array_equal(got, want)
