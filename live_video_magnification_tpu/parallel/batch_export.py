@@ -340,6 +340,15 @@ def export_video_distributed(
                 f if f.ndim == 3 else f[..., None]
                 for f in iter_video(input_path, cpos + a, cpos + b)
             )
+        want = sum(b - a for _sh, a, b in rows)
+        if len(frames) != want:
+            # containers lie about frame counts (video_info documents this);
+            # fail HERE with the cause rather than as a shape mismatch deep
+            # in the SPMD call
+            raise IOError(
+                f"decoder returned {len(frames)} of {want} frames for chunk "
+                f"{_ci} at {cpos} — the container's frame count is wrong; "
+                "pass an explicit end= within the decodable range")
         local = np.ascontiguousarray(
             np.moveaxis(np.stack(frames), -1, 1))  # [T_local, C, H, W]
         _acc("decode_s", _time.monotonic() - t0)

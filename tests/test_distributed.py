@@ -369,3 +369,29 @@ def test_export_video_distributed_grayscale_roi_laplace(tmp_path):
     d = np.abs(processed.astype(np.int16) - want.astype(np.int16))
     assert processed.shape == want.shape  # ROI+downscale geometry applied
     assert d.max() <= 1, f"max diff {d.max()} LSB"
+
+
+def test_export_short_decode_fails_with_cause(tmp_path, monkeypatch):
+    """A container that claims more frames than it can decode (video_info
+    documents they lie) must fail with the decoder-shortfall IOError naming
+    chunk and position — not a shape mismatch deep in the SPMD call."""
+    from live_video_magnification_tpu.io import video as vio
+    from live_video_magnification_tpu.parallel import batch_export
+    from live_video_magnification_tpu.parallel.batch_export import (
+        export_video_distributed,
+    )
+
+    clip_path = _tiny_clip(tmp_path, t=8)
+    real_iter = vio.iter_video
+
+    def short_iter(path, start=0, end=None):
+        # decode stops 2 frames early, as a truncated container would
+        yield from real_iter(path, start, min(end or 6, 6))
+
+    monkeypatch.setattr(batch_export, "iter_video", short_iter, raising=False)
+    # the exporter imports iter_video inside the function; patch the module
+    # it resolves from
+    monkeypatch.setattr(vio, "iter_video", short_iter)
+    with pytest.raises(IOError, match="frame count is wrong"):
+        export_video_distributed(clip_path, str(tmp_path / "out.avi"),
+                                 _phase_cfg(), chunk=8, end=8)
