@@ -92,6 +92,7 @@ class _StaticKey(NamedTuple):
     tail_io: str = "f32"         # LVMT_TAIL_IO: transient-plane dtype
     tail_vert: str = "mxu"       # LVMT_TAIL_VERT: vertical-blur formulation
     tail_db: str = "auto"        # LVMT_TAIL_DB: strip-DMA double buffering
+    pyr_io: str = "f32"          # LVMT_PYR_IO: pyramid band-plane dtype
 
 
 class ChainStep(NamedTuple):
@@ -286,6 +287,7 @@ class MagnificationChain:
             os.environ.get("LVMT_TAIL_IO", "f32"),
             os.environ.get("LVMT_TAIL_VERT", "mxu"),
             os.environ.get("LVMT_TAIL_DB", "auto"),
+            os.environ.get("LVMT_PYR_IO", "f32"),
         )
 
     def process(self, frame_u8_hwc, cfg: ProcessorConfig):

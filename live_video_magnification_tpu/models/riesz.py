@@ -85,13 +85,20 @@ def _zero_reg_pair(h: int, w: int) -> RegPair:
 
 
 def init_state(h: int, w: int, levels: int) -> RieszState:
+    from live_video_magnification_tpu.ops.riesz import _pyr_io_bf16
+
     sizes = riesz_level_sizes(h, w, levels)
+    # LVMT_PYR_IO=bf16: the carried prior pyramid's ACTIVE band levels match
+    # the build's bf16 planes; the residual octave stays f32 (it merges into
+    # the collapse). Trace-time env read, keyed via the chain static key.
+    band_dt = jnp.bfloat16 if _pyr_io_bf16() else jnp.float32
     old = tuple(
         RieszLevel(
-            jnp.zeros((lh, lw), jnp.float32),
-            CompExp(jnp.zeros((lh, lw), jnp.float32), jnp.zeros((lh, lw), jnp.float32)),
+            jnp.zeros((lh, lw), dt),
+            CompExp(jnp.zeros((lh, lw), dt), jnp.zeros((lh, lw), dt)),
         )
-        for lh, lw in sizes
+        for i, (lh, lw) in enumerate(sizes)
+        for dt in [band_dt if i < levels - 1 else jnp.float32]
     )
     acc = tuple(
         CompExp(jnp.zeros((lh, lw), jnp.float32), jnp.zeros((lh, lw), jnp.float32))
@@ -163,6 +170,11 @@ def step(
         _use_mxu,
     )
 
+    # bf16 pyramid planes (LVMT_PYR_IO) are cast to f32 at their consumers —
+    # the cast fuses into each consumer's elementwise fusion, so only
+    # storage is quantized, never arithmetic
+    _f32 = lambda L: jax.tree.map(lambda x: x.astype(jnp.float32), L)
+
     for lvl in range(levels - 1):
         lh, lw = cur[lvl].lowpass.shape[-2], cur[lvl].lowpass.shape[-1]
         # LVMT_TAIL=mxu: banded-matmul blur tail (riesz_amplify_mxu) at
@@ -182,10 +194,10 @@ def step(
                 riesz_level_mxu,
             )
 
+            _cl, _ol = _f32(cur[lvl]), _f32(state.old[lvl])
             out_l, acc2, lo2, hi2 = riesz_level_mxu(
-                cur[lvl].lowpass, cur[lvl].riesz.cos, cur[lvl].riesz.sin,
-                state.old[lvl].lowpass, state.old[lvl].riesz.cos,
-                state.old[lvl].riesz.sin,
+                _cl.lowpass, _cl.riesz.cos, _cl.riesz.sin,
+                _ol.lowpass, _ol.riesz.cos, _ol.riesz.sin,
                 (state.acc[lvl].cos, state.acc[lvl].sin),
                 (state.lo[lvl].reg0.cos, state.lo[lvl].reg0.sin,
                  state.lo[lvl].reg1.cos, state.lo[lvl].reg1.sin),
@@ -225,10 +237,10 @@ def step(
                         rp.reg0.cos, rp.reg0.sin, rp.reg1.cos, rp.reg1.sin)
 
             # raw prior/state: the kernel applies rebuild/zeroing itself
+            _cl, _ol = _f32(cur[lvl]), _f32(state.old[lvl])
             amplitude, wc, ws, lo6, hi6 = riesz_phase_df2_fused(
-                cur[lvl].lowpass, cur[lvl].riesz.cos, cur[lvl].riesz.sin,
-                state.old[lvl].lowpass, state.old[lvl].riesz.cos,
-                state.old[lvl].riesz.sin,
+                _cl.lowpass, _cl.riesz.cos, _cl.riesz.sin,
+                _ol.lowpass, _ol.riesz.cos, _ol.riesz.sin,
                 flat(state.lo[lvl]), flat(state.hi[lvl]),
                 dyn.b_lo, dyn.a_lo, dyn.b_hi, dyn.a_hi,
                 rebuild_old,
@@ -241,7 +253,7 @@ def step(
                 lowpasses.append(
                     riesz_amplify_fused(
                         amplitude, wc, ws,
-                        cur[lvl].lowpass, cur[lvl].riesz.cos, cur[lvl].riesz.sin,
+                        _cl.lowpass, _cl.riesz.cos, _cl.riesz.sin,
                         dyn.amplification, dyn.threshold, preweighted=True,
                     )
                 )
@@ -254,11 +266,12 @@ def step(
                 normalized = CompExp(amplitude_blur(wc) / ab,
                                      amplitude_blur(ws) / ab)
                 lowpasses.append(amplify_level(
-                    cur[lvl], normalized, dyn.amplification, dyn.threshold))
+                    _cl, normalized, dyn.amplification, dyn.threshold))
             continue
 
         pr = phase_difference_and_amplitude(
-            cur[lvl], old[lvl], compute_blur=not (fused_tail or mxu_tail)
+            _f32(cur[lvl]), _f32(old[lvl]),
+            compute_blur=not (fused_tail or mxu_tail)
         )
         # Both filters read the SAME shared accumulator; XLA CSEs the duplicate
         # acc+diff, so only one accumulated-phase pair is computed and stored.
@@ -301,10 +314,11 @@ def step(
             )
 
             change = hi_res - lo_res
+            cl = _f32(cur[lvl])
             lowpasses.append(
                 riesz_amplify_fused(
                     pr.amplitude, change.cos, change.sin,
-                    cur[lvl].lowpass, cur[lvl].riesz.cos, cur[lvl].riesz.sin,
+                    cl.lowpass, cl.riesz.cos, cl.riesz.sin,
                     dyn.amplification, dyn.threshold,
                 )
             )
@@ -313,7 +327,8 @@ def step(
             hi_res, lo_res, pr.amplitude, pr.amplitude_blurred
         )
         lowpasses.append(
-            amplify_level(cur[lvl], normalized, dyn.amplification, dyn.threshold)
+            amplify_level(_f32(cur[lvl]), normalized, dyn.amplification,
+                          dyn.threshold)
         )
     lowpasses.append(cur[levels - 1].lowpass)  # untouched residual octave
 
@@ -328,7 +343,11 @@ def step(
     out_u8 = jnp.where(passthrough, frame_u8, out_u8)
 
     # "*st.old = *st.cur" — the prior pyramid becomes this frame's (band + Riesz).
-    new_old = tuple(RieszLevel(c.lowpass, c.riesz) for c in cur)
+    # The carried dtype follows state.old (LVMT_PYR_IO: bf16 band levels; a
+    # resumed f32 checkpoint stays f32), so chunked scans and checkpoints
+    # stay dtype-self-consistent.
+    new_old = jax.tree.map(lambda c, o: c.astype(o.dtype), tuple(cur),
+                           state.old)
     new_state = RieszState(state.count + 1, new_old, tuple(new_acc),
                            tuple(new_lo), tuple(new_hi))
     return new_state, out_u8
@@ -461,9 +480,12 @@ def process_clip_parallel(
     passthrough = (jnp.zeros((t,), bool).at[0].set(True) & first) | dyn.force_init
     outs = jnp.where(passthrough[:, None, None, None], frames_u8, out_u8)
 
-    new_old = tuple(
-        RieszLevel(p.lowpass[-1], CompExp(p.riesz.cos[-1], p.riesz.sin[-1]))
-        for p in pyrs
+    new_old = jax.tree.map(
+        lambda x, o: x.astype(o.dtype),
+        tuple(RieszLevel(p.lowpass[-1],
+                         CompExp(p.riesz.cos[-1], p.riesz.sin[-1]))
+              for p in pyrs),
+        state.old,
     )
     new_state = RieszState(state.count + t, new_old, tuple(new_acc),
                            tuple(new_lo), tuple(new_hi))

@@ -79,6 +79,13 @@ def _resolve_bf16(bf16) -> bool:
     return _mxu_bf16() if bf16 is None else bool(bf16)
 
 
+def _np_dtype(name: str):
+    """'f32'|'bf16' -> dtype for kernel out_shapes (LVMT_PYR_IO: pyramid
+    planes at half HBM width in the fast mode; the kernels always ACCUMULATE
+    f32 and cast only on the final store)."""
+    return jnp.bfloat16 if name == "bf16" else jnp.float32
+
+
 def _mxu_dot(a, b, bf16: bool = False, prec: str = "highest"):
     """One banded-stencil matmul term: f32 (default) or bf16-operand.
 
@@ -192,7 +199,7 @@ def _dense_kernel(x_hbm, bank_ref, out_ref, strip, sem, *, n_blocks: int, bf16: 
             slab = strip[a : a + _TILE_R, j * _LANES : j * _LANES + 2 * _LANES]
             term = _mxu_dot(slab, bank_ref[a], bf16, prec)
             acc = term if acc is None else acc + term
-        out_ref[:, j * _LANES : (j + 1) * _LANES] = acc
+        out_ref[:, j * _LANES : (j + 1) * _LANES] = acc.astype(out_ref.dtype)
 
 
 def _dense_svd_kernel(x_hbm, bank_ref, out_ref, strip, sem,
@@ -216,15 +223,16 @@ def _dense_svd_kernel(x_hbm, bank_ref, out_ref, strip, sem,
                 v = t if v is None else v + t
             term = _mxu_dot(v, bank_ref[i], bf16, prec)
             acc = term if acc is None else acc + term
-        out_ref[:, j * _LANES : (j + 1) * _LANES] = acc
+        out_ref[:, j * _LANES : (j + 1) * _LANES] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "bf16", "prec", "col_taps")
+    jax.jit, static_argnames=("interpret", "bf16", "prec", "col_taps",
+                              "out_dtype")
 )
 def _run_dense_svd(padded: jnp.ndarray, bank: jnp.ndarray, col_taps,
                    interpret: bool = False, bf16: bool = False,
-                   prec: str = "highest"):
+                   prec: str = "highest", out_dtype: str = "f32"):
     hp, wp = padded.shape
     n_tiles = (hp - 8) // _TILE_R
     n_blocks = wp // _LANES - 1
@@ -247,16 +255,18 @@ def _run_dense_svd(padded: jnp.ndarray, bank: jnp.ndarray, col_taps,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (n_tiles * _TILE_R, n_blocks * _LANES), jnp.float32
+            (n_tiles * _TILE_R, n_blocks * _LANES), _np_dtype(out_dtype)
         ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(padded, bank)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "bf16", "prec"))
+@functools.partial(jax.jit, static_argnames=("interpret", "bf16", "prec",
+                                             "out_dtype"))
 def _run_dense(padded: jnp.ndarray, bank: jnp.ndarray, interpret: bool = False,
-               bf16: bool = False, prec: str = "highest"):
+               bf16: bool = False, prec: str = "highest",
+               out_dtype: str = "f32"):
     hp, wp = padded.shape
     n_tiles = (hp - 8) // _TILE_R
     n_blocks = wp // _LANES - 1
@@ -277,7 +287,7 @@ def _run_dense(padded: jnp.ndarray, bank: jnp.ndarray, interpret: bool = False,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (n_tiles * _TILE_R, n_blocks * _LANES), jnp.float32
+            (n_tiles * _TILE_R, n_blocks * _LANES), _np_dtype(out_dtype)
         ),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -285,7 +295,7 @@ def _run_dense(padded: jnp.ndarray, bank: jnp.ndarray, interpret: bool = False,
 
 
 def conv9_mxu(x: jnp.ndarray, kernel9, interpret: bool = False,
-              bf16: bool | None = None) -> jnp.ndarray:
+              bf16: bool | None = None, out_dtype: str = "f32") -> jnp.ndarray:
     """correlate2d(x, kernel9) with BORDER_REFLECT_101 via MXU banded matmuls.
 
     x: [H, W] f32 with min(H, W) >= 9 (use MIN_MXU_DIM gating for speed).
@@ -306,11 +316,12 @@ def conv9_mxu(x: jnp.ndarray, kernel9, interpret: bool = False,
         col_taps = tuple(tuple(float(v) for v in c) for c in col)
         bank = jnp.asarray(_svd_row_bank(row))
         out = _run_dense_svd(p, bank, col_taps, interpret=interpret,
-                             bf16=use_bf16, prec=_mxu_precision_name())
+                             bf16=use_bf16, prec=_mxu_precision_name(),
+                             out_dtype=out_dtype)
     else:
         bank = jnp.asarray(_dense_bank(k))
         out = _run_dense(p, bank, interpret=interpret, bf16=use_bf16,
-                         prec=_mxu_precision_name())
+                         prec=_mxu_precision_name(), out_dtype=out_dtype)
     return out[:h, :w]
 
 
@@ -423,21 +434,26 @@ def _band_kernel(hp_hbm, r_bank, s_bank, r_ref, i_ref, strip, sem,
     cp.wait()
     for j in range(n_blocks):
         cols = slice(j * _LANES, j * _LANES + 2 * _LANES)
-        # r: horizontal 1x5 at vertical offset 2 (the pad-2 halo).
-        slab = strip[2 : 2 + _TILE_R, cols]
-        r_ref[:, j * _LANES : (j + 1) * _LANES] = _mxu_dot(slab, r_bank[:], bf16, prec)
+        # r: horizontal 1x5 at vertical offset 2 (the pad-2 halo). The strip
+        # may arrive bf16 (LVMT_PYR_IO); accumulate f32 regardless.
+        slab = strip[2 : 2 + _TILE_R, cols].astype(jnp.float32)
+        r_ref[:, j * _LANES : (j + 1) * _LANES] = _mxu_dot(
+            slab, r_bank[:], bf16, prec).astype(r_ref.dtype)
         # i: vertical 5x1 (cheap sublane shifts), then a +2-lane shift expressed
         # as a delta-band matmul (Mosaic cannot lane-rotate cheaply).
         acc = None
         for a in range(5):
-            term = strip[a : a + _TILE_R, cols] * taps[a]
+            term = strip[a : a + _TILE_R, cols].astype(jnp.float32) * taps[a]
             acc = term if acc is None else acc + term
-        i_ref[:, j * _LANES : (j + 1) * _LANES] = _mxu_dot(acc, s_bank[:], bf16, prec)
+        i_ref[:, j * _LANES : (j + 1) * _LANES] = _mxu_dot(
+            acc, s_bank[:], bf16, prec).astype(i_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("taps", "interpret", "bf16", "prec"))
+@functools.partial(jax.jit, static_argnames=("taps", "interpret", "bf16",
+                                             "prec", "out_dtype"))
 def _run_band(padded: jnp.ndarray, taps, interpret: bool = False,
-              bf16: bool = False, prec: str = "highest"):
+              bf16: bool = False, prec: str = "highest",
+              out_dtype: str = "f32"):
     hp, wp = padded.shape
     n_tiles = (hp - 8) // _TILE_R
     n_blocks = wp // _LANES - 1
@@ -457,11 +473,12 @@ def _run_band(padded: jnp.ndarray, taps, interpret: bool = False,
             for _ in range(2)
         ),
         scratch_shapes=[
-            pltpu.VMEM((_TILE_R + 8, wp), jnp.float32),
+            pltpu.VMEM((_TILE_R + 8, wp), padded.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    out_sd = jax.ShapeDtypeStruct((n_tiles * _TILE_R, n_blocks * _LANES), jnp.float32)
+    out_sd = jax.ShapeDtypeStruct((n_tiles * _TILE_R, n_blocks * _LANES),
+                                  _np_dtype(out_dtype))
     return pl.pallas_call(
         kernel,
         out_shape=(out_sd, out_sd),
@@ -471,7 +488,8 @@ def _run_band(padded: jnp.ndarray, taps, interpret: bool = False,
 
 
 def band5_mxu(
-    hp: jnp.ndarray, taps, interpret: bool = False, bf16: bool | None = None
+    hp: jnp.ndarray, taps, interpret: bool = False, bf16: bool | None = None,
+    out_dtype: str = "f32",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(correlate_rows(hp, taps), correlate_cols(hp, taps)) — the Riesz band
     pair (RieszPyramid.cpp:66-78) — reflect-101, via MXU band matmuls."""
@@ -486,7 +504,7 @@ def band5_mxu(
         p, ((0, n_tiles * _TILE_R + 8 - (h + 4)), (0, wp - (w + 4))), mode="edge"
     )
     r, i = _run_band(p, taps, interpret=interpret, bf16=_resolve_bf16(bf16),
-                     prec=_mxu_precision_name())
+                     prec=_mxu_precision_name(), out_dtype=out_dtype)
     return r[:h, :w], i[:h, :w]
 
 
@@ -572,7 +590,7 @@ def _dec_svd_kernel(pe_hbm, po_hbm, bank_ref, out_ref, strip_e, strip_o, sems,
                          * col_taps[i][2 * ai + 1])
             term = _mxu_dot(v, bank_ref[i], bf16, prec)
             acc = term if acc is None else acc + term
-        out_ref[:, j * _LANES : (j + 1) * _LANES] = acc
+        out_ref[:, j * _LANES : (j + 1) * _LANES] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(

@@ -189,10 +189,13 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, vbank_ref, bank_ref, lp_ref,
         mag = jnp.sqrt(nc * nc + ns * ns)
         mag2 = jnp.minimum(mag * alpha, threshold)  # cv::THRESH_TRUNC
         ocols = slice(j * _LANES, (j + 1) * _LANES)
-        pair = (rr_ref[:, ocols] * nc + ri_ref[:, ocols] * ns) / mag
+        # lp/rr/ri may arrive bf16 (LVMT_PYR_IO); compute f32 regardless
+        rr = rr_ref[:, ocols].astype(jnp.float32)
+        ri = ri_ref[:, ocols].astype(jnp.float32)
+        lp = lp_ref[:, ocols].astype(jnp.float32)
+        pair = (rr * nc + ri * ns) / mag
         pair = jnp.where(jnp.isnan(pair), 0.0, pair)
-        out_ref[:, ocols] = (lp_ref[:, ocols] * jnp.cos(mag2)
-                             - pair * jnp.sin(mag2))
+        out_ref[:, ocols] = (lp * jnp.cos(mag2) - pair * jnp.sin(mag2))
 
 
 def _db_mode() -> str:

@@ -99,6 +99,22 @@ def _use_amplify_kernel() -> bool:
     return _tail_mode() == "pallas"
 
 
+def _pyr_io_bf16() -> bool:
+    """LVMT_PYR_IO=bf16: the per-level pyramid band planes (highpass + Riesz
+    pair — the planes the phase front, the amplify tail, and the carried
+    prior pyramid all re-read) are emitted as bfloat16 by the build kernels —
+    half their HBM bytes across build writes, front reads, tail reads, and
+    state writes. The decimated octave cascade and everything the collapse
+    consumes stay f32 (the octave feeds every coarser level, and the
+    residual merges into the output). All consumers cast to f32 on load, so
+    only the STORAGE is quantized, never the arithmetic. Trace-time flag,
+    keyed into the chain jit cache (models/chain.py); engages only on the
+    streaming/auto path (use_pallas is None) — the sharded and time-parallel
+    builders stay f32 and self-adapt their carried-state dtype to whatever
+    the checkpoint holds."""
+    return os.environ.get("LVMT_PYR_IO", "f32") == "bf16"
+
+
 def _tail_io_bf16() -> bool:
     """LVMT_TAIL_IO=bf16: the TRANSIENT planes feeding the MXU tail
     (amplitude + phase-change pair) are written/read as bfloat16 — half the
@@ -146,6 +162,15 @@ def build_riesz_pyramid(
     LVMT_BUILD=fused forces the VPU fused kernel (A/B lever)."""
     pyr = []
     octave = frame
+    pyr_bf16 = use_pallas is None and _pyr_io_bf16()
+
+    def _cast_level(level: RieszLevel) -> RieszLevel:
+        if not pyr_bf16:
+            return level
+        c = lambda x: x.astype(jnp.bfloat16)
+        return RieszLevel(c(level.lowpass),
+                          CompExp(c(level.riesz.cos), c(level.riesz.sin)))
+
     for lvl in range(levels - 1):
         h, w = octave.shape[-2], octave.shape[-1]
         fused_ok = use_pallas if use_pallas is not None else _use_fused_build(h, w)
@@ -165,8 +190,11 @@ def build_riesz_pyramid(
             )
 
             conv_bf16, band_bf16 = _hybrid_bf16(lvl)
-            hp = conv9_mxu(octave, RIESZ_HIGHPASS_9x9, bf16=conv_bf16)
-            r, i = band5_mxu(hp, RIESZ_BAND_KERNEL, bf16=band_bf16)
+            od = "bf16" if pyr_bf16 else "f32"
+            hp = conv9_mxu(octave, RIESZ_HIGHPASS_9x9, bf16=conv_bf16,
+                           out_dtype=od)
+            r, i = band5_mxu(hp, RIESZ_BAND_KERNEL, bf16=band_bf16,
+                             out_dtype=od)
             sub = lp9_decimate_mxu(octave, 2.0 * RIESZ_LOWPASS_9x9,
                                    bf16=conv_bf16)
             pyr.append(RieszLevel(lowpass=hp, riesz=CompExp(r, i)))
@@ -177,14 +205,15 @@ def build_riesz_pyramid(
             )
 
             hp, r, i, sub = riesz_build_level_fused(octave)
-            pyr.append(RieszLevel(lowpass=hp, riesz=CompExp(r, i)))
+            pyr.append(_cast_level(RieszLevel(lowpass=hp,
+                                              riesz=CompExp(r, i))))
             octave = sub
         else:
             hp = correlate2d(octave, RIESZ_HIGHPASS_9x9)
-            pyr.append(_band_build(hp))
+            pyr.append(_cast_level(_band_build(hp)))
             lp = correlate2d(octave, 2.0 * RIESZ_LOWPASS_9x9)
             octave = _subsample(lp)
-    pyr.append(_band_build(octave))
+    pyr.append(_band_build(octave))  # residual octave: always f32
     return pyr
 
 

@@ -211,6 +211,7 @@ def test_chain_static_key_tracks_every_kernel_variant_flag(monkeypatch):
         ("LVMT_TAIL_IO", "f32", ["bf16"]),
         ("LVMT_TAIL_VERT", "mxu", ["vpu"]),
         ("LVMT_TAIL_DB", "auto", ["0", "1"]),
+        ("LVMT_PYR_IO", "f32", ["bf16"]),
     ]:
         monkeypatch.delenv(var, raising=False)
         unset_key = key()
@@ -227,3 +228,59 @@ def test_chain_static_key_tracks_every_kernel_variant_flag(monkeypatch):
             "unset key — otherwise the key default and the kernel default "
             "can disagree")
         monkeypatch.delenv(var)
+
+
+def test_riesz_pyr_io_bf16_close_and_dtype_consistent(monkeypatch):
+    """LVMT_PYR_IO=bf16 (round 5): pyramid band planes stored bfloat16,
+    arithmetic still f32 (consumers cast on load). On the CPU jnp path this
+    exercises the cast plumbing end-to-end: outputs stay close to the f32
+    step, the carried prior pyramid is bf16 (residual f32), and a scanned
+    clip carries the dtype consistently; clearing the flag restores f32."""
+    import math
+
+    import jax
+    import numpy as np
+
+    from oracle import synthetic_clip
+
+    t, h, w, levels = 6, 48, 64, 3
+    frames = synthetic_clip(t, h, w, color=True, seed=9)
+    arr = jnp.asarray(np.stack([chw(f) for f in frames]))
+    b_lo, a_lo = butterworth_bandpass_coeffs(0.5, FPS)
+    b_hi, a_hi = butterworth_bandpass_coeffs(3.0, FPS)
+    dyn = riesz_mode.RieszDynParams(
+        jnp.float32(30.0), jnp.float32(40.0 * math.pi / 100.0),
+        jnp.asarray(b_lo, jnp.float32), jnp.asarray(a_lo, jnp.float32),
+        jnp.asarray(b_hi, jnp.float32), jnp.asarray(a_hi, jnp.float32),
+        jnp.asarray(False), jnp.asarray(False),
+    )
+
+    monkeypatch.delenv("LVMT_PYR_IO", raising=False)
+    _, ref = riesz_mode.process_clip(arr, dyn, levels=levels)
+
+    monkeypatch.setenv("LVMT_PYR_IO", "bf16")
+    st = riesz_mode.init_state(h, w, levels)
+    for lvl in range(levels - 1):
+        assert st.old[lvl].lowpass.dtype == jnp.bfloat16
+    assert st.old[levels - 1].lowpass.dtype == jnp.float32  # residual octave
+    st_out, got = riesz_mode.process_clip(arr, dyn, levels=levels, state=st)
+    # carried dtype is preserved across the scan
+    for lvl in range(levels - 1):
+        assert st_out.old[lvl].lowpass.dtype == jnp.bfloat16
+    assert st_out.acc[0].cos.dtype == jnp.float32  # filters stay f32
+    d = np.abs(np.asarray(got).astype(np.int16) - np.asarray(ref).astype(np.int16))
+    # storage-only quantization of the band planes: small u8 deltas
+    assert d.max() <= 8, f"max diff {d.max()} u8"
+    assert d.mean() < 0.5
+
+    # the time-parallel path self-adapts to the carried dtype (its builder
+    # stays f32; new_old casts back) — chunk interchange must not crash and
+    # must keep the dtype
+    st2 = riesz_mode.init_state(h, w, levels)
+    st2, out_a = riesz_mode.process_clip_parallel(arr[:3], dyn, levels=levels,
+                                                  state=st2)
+    for lvl in range(levels - 1):
+        assert st2.old[lvl].lowpass.dtype == jnp.bfloat16
+    _st3, out_b = riesz_mode.process_clip(arr[3:], dyn, levels=levels,
+                                          state=st2)
+    assert out_a.shape[0] + out_b.shape[0] == t

@@ -597,3 +597,31 @@ def test_riesz_step_level_tail_matches_jnp_step(monkeypatch):
         d = np.abs(np.asarray(o_ref).astype(np.int16)
                    - np.asarray(o_fus).astype(np.int16))
         assert d.max() <= 1, f"max diff {d.max()} LSB"
+
+
+def test_conv9_band5_bf16_out_dtype(monkeypatch):
+    """out_dtype='bf16' (LVMT_PYR_IO plumbing): conv9/band5 emit bfloat16
+    planes, accumulate f32 in-kernel, and band5 accepts a bf16 input plane —
+    all within bf16 quantization of the f32 path."""
+    from live_video_magnification_tpu.ops.pallas.conv9_mxu import (
+        band5_mxu,
+        conv9_mxu,
+    )
+
+    h, w = 96, 200
+    x = jnp.asarray(RNG.random((h, w)).astype(np.float32) * 100.0 - 50.0)
+    ref_hp = conv9_mxu(x, RIESZ_HIGHPASS_9x9, interpret=True)
+    ref_r, ref_i = band5_mxu(ref_hp, RIESZ_BAND_KERNEL, interpret=True)
+
+    hp = conv9_mxu(x, RIESZ_HIGHPASS_9x9, interpret=True, out_dtype="bf16")
+    assert hp.dtype == jnp.bfloat16
+    r, i = band5_mxu(hp, RIESZ_BAND_KERNEL, interpret=True, out_dtype="bf16")
+    assert r.dtype == i.dtype == jnp.bfloat16
+    scale = float(jnp.max(jnp.abs(ref_hp)))
+    np.testing.assert_allclose(np.asarray(hp, np.float32),
+                               np.asarray(ref_hp), atol=scale / 128)
+    scale_b = float(jnp.max(jnp.abs(ref_r))) + 1e-6
+    np.testing.assert_allclose(np.asarray(r, np.float32), np.asarray(ref_r),
+                               atol=scale_b / 64)
+    np.testing.assert_allclose(np.asarray(i, np.float32), np.asarray(ref_i),
+                               atol=scale_b / 64)
