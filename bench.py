@@ -359,10 +359,12 @@ def run_matrix(steps: int) -> list:
         import os as _os
 
         prev = {k: _os.environ.get(k)
-                for k in ("LVMT_MXU_DTYPE", "LVMT_TAIL", "LVMT_TAIL_IO")}
+                for k in ("LVMT_MXU_DTYPE", "LVMT_TAIL", "LVMT_TAIL_IO",
+                          "LVMT_PYR_IO")}
         _os.environ["LVMT_MXU_DTYPE"] = "bf16"
         _os.environ["LVMT_TAIL"] = "mxu"  # measured best fast-mode pairing
-        _os.environ["LVMT_TAIL_IO"] = "bf16"  # round-5 pairing (R5_TAILDB_AB)
+        _os.environ["LVMT_TAIL_IO"] = "bf16"  # round-5 (R5_TAILDB_AB)
+        _os.environ["LVMT_PYR_IO"] = "bf16"   # round-5 (R5_PYRIO_AB)
         try:
             return bench_mode_scan("phase", 2160, 3840, 6, steps)
         finally:  # restore the caller's setting, not a hardcoded default
@@ -545,10 +547,12 @@ def main() -> int:
         import os as _os
 
         prev = {k: _os.environ.get(k)
-                for k in ("LVMT_MXU_DTYPE", "LVMT_TAIL", "LVMT_TAIL_IO")}
+                for k in ("LVMT_MXU_DTYPE", "LVMT_TAIL", "LVMT_TAIL_IO",
+                          "LVMT_PYR_IO")}
         _os.environ["LVMT_MXU_DTYPE"] = "bf16"
         _os.environ["LVMT_TAIL"] = "mxu"
         _os.environ["LVMT_TAIL_IO"] = "bf16"
+        _os.environ["LVMT_PYR_IO"] = "bf16"
         try:
             rf = bench_mode_scan(args.mode, h, w, levels, args.steps)
             entry["fast_mode_fps"] = round(rf["fps"], 2)

@@ -43,13 +43,15 @@ def _add_mag_args(p: argparse.ArgumentParser) -> None:
 
 
 def _apply_fast_mode(args) -> None:
-    """--fast sets LVMT_MXU_DTYPE=bf16 + LVMT_TAIL=mxu + LVMT_TAIL_IO=bf16
-    BEFORE any chain is built (all flags are resolved into the jit-cache key
-    at chain build time). bf16 stencils + the MXU-banded blur tail (MXU
-    vertical taps, double-buffered strips, bf16 transients) is the measured
-    best fast-mode pairing: 8.19 -> 7.59/7.69 ms/4K-frame same-session
-    (R5_TAILIO_AB.json / R5_TAILDB_AB.json, identical 44.1 dB); explicit env
-    settings of any flag still win."""
+    """--fast sets LVMT_MXU_DTYPE=bf16 + LVMT_TAIL=mxu + LVMT_TAIL_IO=bf16 +
+    LVMT_PYR_IO=bf16 BEFORE any chain is built (all flags are resolved into
+    the jit-cache key at chain build time). bf16 stencils + the MXU-banded
+    blur tail (MXU vertical taps, double-buffered strips, bf16 transients) +
+    bf16 pyramid band-plane STORAGE (arithmetic stays f32) is the measured
+    best fast-mode pairing: 8.19 -> 7.6 -> 6.83/6.91 ms/4K-frame across the
+    round-5 same-session A/Bs (R5_TAILIO_AB / R5_TAILDB_AB / R5_PYRIO_AB,
+    accuracy unchanged at 44 dB); explicit env settings of any flag still
+    win."""
     import os
 
     if getattr(args, "fast", False):
@@ -58,6 +60,7 @@ def _apply_fast_mode(args) -> None:
         os.environ.setdefault("LVMT_MXU_DTYPE", "bf16")
         os.environ.setdefault("LVMT_TAIL", "mxu")
         os.environ.setdefault("LVMT_TAIL_IO", "bf16")
+        os.environ.setdefault("LVMT_PYR_IO", "bf16")
 
 
 def _config_from_args(args, source_fps: float):

@@ -216,7 +216,8 @@ def test_magnify_fast_flag_sets_mxu_dtype(clip_path, tmp_path, monkeypatch):
     # mutates the real environment, and a leaked bf16 flag would flip every
     # later pallas golden test into the fast mode), then delenv so --fast's
     # defaults apply.
-    for var in ("LVMT_MXU_DTYPE", "LVMT_TAIL", "LVMT_TAIL_IO"):
+    for var in ("LVMT_MXU_DTYPE", "LVMT_TAIL", "LVMT_TAIL_IO",
+                "LVMT_PYR_IO"):
         monkeypatch.setenv(var, "sentinel")
         monkeypatch.delenv(var)
     out = str(tmp_path / "fast.avi")
@@ -227,6 +228,7 @@ def test_magnify_fast_flag_sets_mxu_dtype(clip_path, tmp_path, monkeypatch):
     # bf16 transient planes (round 5, R5_TAILDB_AB.json)
     assert os.environ.get("LVMT_TAIL") == "mxu"
     assert os.environ.get("LVMT_TAIL_IO") == "bf16"
+    assert os.environ.get("LVMT_PYR_IO") == "bf16"
     assert _read(out).shape[0] == 6
     # explicit env settings win over the flag's defaults (code-review r4)
     monkeypatch.setenv("LVMT_MXU_DTYPE", "hybrid")

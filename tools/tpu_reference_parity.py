@@ -91,7 +91,8 @@ def main() -> int:
     if "--fast-too" in sys.argv:
         fast_modes.append(("bf16", {"LVMT_MXU_DTYPE": "bf16",
                                     "LVMT_TAIL": "mxu",
-                                    "LVMT_TAIL_IO": "bf16"}))
+                                    "LVMT_TAIL_IO": "bf16",
+                                    "LVMT_PYR_IO": "bf16"}))
 
     for mode, (ref_kw, mag) in configs.items():
         frames = realistic_clip(t, h, w, FPS, seed=31)
@@ -99,6 +100,7 @@ def main() -> int:
         for label, env in fast_modes:
             _os.environ.pop("LVMT_TAIL", None)
             _os.environ.pop("LVMT_TAIL_IO", None)
+            _os.environ.pop("LVMT_PYR_IO", None)
             for k, v in env.items():
                 _os.environ[k] = v
             chain = MagnificationChain()
@@ -122,6 +124,7 @@ def main() -> int:
         _os.environ["LVMT_MXU_DTYPE"] = "f32"
         _os.environ.pop("LVMT_TAIL", None)
         _os.environ.pop("LVMT_TAIL_IO", None)
+        _os.environ.pop("LVMT_PYR_IO", None)
 
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
