@@ -93,6 +93,7 @@ class _StaticKey(NamedTuple):
     tail_vert: str = "mxu"       # LVMT_TAIL_VERT: vertical-blur formulation
     tail_db: str = "auto"        # LVMT_TAIL_DB: strip-DMA double buffering
     pyr_io: str = "f32"          # LVMT_PYR_IO: pyramid band-plane dtype
+    tail_tile: str = "64"        # LVMT_TAIL_TILE: amplify-kernel tile rows
 
 
 class ChainStep(NamedTuple):
@@ -288,6 +289,7 @@ class MagnificationChain:
             os.environ.get("LVMT_TAIL_VERT", "mxu"),
             os.environ.get("LVMT_TAIL_DB", "auto"),
             os.environ.get("LVMT_PYR_IO", "f32"),
+            os.environ.get("LVMT_TAIL_TILE", "64"),
         )
 
     def process(self, frame_u8_hwc, cfg: ProcessorConfig):

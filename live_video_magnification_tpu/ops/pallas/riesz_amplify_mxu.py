@@ -48,9 +48,14 @@ from live_video_magnification_tpu.ops.pallas.conv9_mxu import (
 
 _LANES = 128
 _HALO = 6                    # 13-tap reach
-_TILE = 64                   # output rows per grid step
-_STRIP = _TILE + 2 * _HALO + 4   # = 80, 8-row-aligned DMA strip height
+_TILE = 64                   # default output rows per grid step (LVMT_TAIL_TILE)
 _TAPS = [float(v) for v in AMPLITUDE_BLUR_KERNEL_1D]
+
+
+def _strip_h(tile: int) -> int:
+    """DMA strip height for a tile: tile + 13-tap halo, padded to the 16-row
+    sublane tile (80 for tile=64 — the historical constant — 144 for 128)."""
+    return -(-(tile + 2 * _HALO) // 16) * 16
 
 
 def _blur_bank() -> np.ndarray:
@@ -62,16 +67,16 @@ def _blur_bank() -> np.ndarray:
     return bank
 
 
-def _vert_bank() -> np.ndarray:
+def _vert_bank(tile: int) -> np.ndarray:
     """Bv[y, p] = g[p - y] for 0 <= p - y <= 12: the VERTICAL 13-tap blur as
     one (tile x strip) banded matmul from the left — out = Bv @ strip. The
     round-5 microbench put the kernel at ~5.7x its traffic bound with the
     vertical taps as 13 VPU sublane FMAs per block; this moves them to the
     MXU (one matmul per blur per tile instead of 13x3 VPU passes per
-    256-lane slab). Shape (_TILE, _STRIP); the 4 alignment rows past
-    y+12 = 75 carry zero taps by construction."""
-    bank = np.zeros((_TILE, _STRIP), np.float32)
-    for y in range(_TILE):
+    256-lane slab). Shape (tile, strip); alignment rows past y+12 carry
+    zero taps by construction."""
+    bank = np.zeros((tile, _strip_h(tile)), np.float32)
+    for y in range(tile):
         for b in range(13):
             bank[y, y + b] = _TAPS[b]
     return bank
@@ -91,7 +96,8 @@ def _tail_vert_mode() -> str:
 def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, vbank_ref, bank_ref, lp_ref,
             rr_ref, ri_ref, out_ref, amp_v, cc_v, cs_v, sems,
             *, n_blocks: int, preweighted: bool, bf16: bool, prec: str,
-            vert_mxu: bool, db: bool):
+            vert_mxu: bool, db: bool, tile: int):
+    strip_rows = _strip_h(tile)
     ti = pl.program_id(0)
     alpha = scalars[0, 0]
     threshold = scalars[0, 1]
@@ -105,7 +111,7 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, vbank_ref, bank_ref, lp_ref,
         # lp/rr/ri/out are pipelined by the grid machinery)
         def dma(slot, t, k):
             return pltpu.make_async_copy(
-                srcs[k].at[pl.ds(t * _TILE, _STRIP), :], dsts[k].at[slot],
+                srcs[k].at[pl.ds(t * tile, strip_rows), :], dsts[k].at[slot],
                 sems.at[slot, k])
 
         slot = jax.lax.rem(ti, 2)
@@ -130,7 +136,8 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, vbank_ref, bank_ref, lp_ref,
         copies = []
         for k in range(3):
             cp = pltpu.make_async_copy(
-                srcs[k].at[pl.ds(ti * _TILE, _STRIP), :], dsts[k], sems.at[k])
+                srcs[k].at[pl.ds(ti * tile, strip_rows), :], dsts[k],
+                sems.at[k])
             cp.start()
             copies.append(cp)
         for cp in copies:
@@ -166,9 +173,9 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, vbank_ref, bank_ref, lp_ref,
             # half the HBM bytes); accumulate the taps in f32 regardless
             acc = None
             for a in range(13):
-                term = strip_ref[a : a + _TILE, cols].astype(jnp.float32)
+                term = strip_ref[a : a + tile, cols].astype(jnp.float32)
                 if weight_ref is not None:
-                    term = term * weight_ref[a : a + _TILE, cols].astype(
+                    term = term * weight_ref[a : a + tile, cols].astype(
                         jnp.float32)
                 term = term * _TAPS[a]
                 acc = term if acc is None else acc + term
@@ -209,43 +216,68 @@ def _db_mode() -> str:
     return os.environ.get("LVMT_TAIL_DB", "auto")
 
 
-def _resolve_db(dtype, wp: int, mode: str) -> bool:
-    if mode in ("0", "1"):
-        return mode == "1"
-    itemsize = jnp.dtype(dtype).itemsize
-    # 2 slots x 3 strips + 2x-pipelined 4 blocked (TILE, wp) f32 buffers
-    est = 2 * 3 * _STRIP * wp * itemsize + 2 * 4 * _TILE * wp * 4
-    return est <= 14 * 1024 * 1024
+def _tile_mode() -> str:
+    """LVMT_TAIL_TILE in {64, 128, auto}: output rows per grid step. 128
+    halves the DMA issue count and improves vertical-matmul utilization but
+    fits VMEM only when the strip and elementwise inputs are narrow (the
+    all-bf16 fast pairing); auto picks the largest fitting geometry.
+    Trace-time env read, keyed into the chain jit cache."""
+    import os
+
+    return os.environ.get("LVMT_TAIL_TILE", "64")
+
+
+def _vmem_est(tile: int, db: bool, wp: int, strip_item: int,
+              ew_item: int) -> int:
+    strips = (2 if db else 1) * 3 * _strip_h(tile) * wp * strip_item
+    blocked = 2 * tile * wp * (3 * ew_item + 4)  # 3 pipelined ins + f32 out
+    return strips + blocked
+
+
+def _resolve_geom(strip_dtype, ew_dtype, wp: int, tile_mode: str,
+                  db_mode: str):
+    """(tile, db) jointly from the env modes + a VMEM-fit estimate."""
+    budget = 14 * 1024 * 1024
+    s_it = jnp.dtype(strip_dtype).itemsize
+    e_it = jnp.dtype(ew_dtype).itemsize
+    tiles = {"64": [64], "128": [128], "auto": [128, 64]}[tile_mode]
+    dbs = {"0": [False], "1": [True], "auto": [True, False]}[db_mode]
+    for tile in tiles:
+        for db in dbs:
+            if _vmem_est(tile, db, wp, s_it, e_it) <= budget:
+                return tile, db
+    return 64, False
 
 
 @functools.partial(
     jax.jit, static_argnames=("interpret", "preweighted", "bf16", "prec",
-                              "vert_mxu", "db")
+                              "vert_mxu", "db", "tile")
 )
 def _run(scalars, amp_p, cc_p, cs_p, lp_a, rr_a, ri_a,
          interpret: bool = False, preweighted: bool = False,
          bf16: bool = False, prec: str = "highest", vert_mxu: bool = False,
-         db: bool = False):
-    hp, wp = amp_p.shape          # (n_tiles*_TILE + _STRIP - _TILE, blocks*128 + 128)
+         db: bool = False, tile: int = _TILE):
+    hp, wp = amp_p.shape          # (n_tiles*tile + strip - tile, blocks*128 + 128)
     h_out, w_pad = lp_a.shape     # aligned output size
-    n_tiles = h_out // _TILE
+    strip = _strip_h(tile)
+    n_tiles = h_out // tile
     n_blocks = w_pad // _LANES
     kernel = functools.partial(_kernel, n_blocks=n_blocks,
                                preweighted=preweighted, bf16=bf16, prec=prec,
-                               vert_mxu=vert_mxu, db=db)
+                               vert_mxu=vert_mxu, db=db, tile=tile)
     bank = jnp.asarray(_blur_bank())
-    vbank = jnp.asarray(_vert_bank())
-    strip_shape = (2, _STRIP, wp) if db else (_STRIP, wp)
+    vbank = jnp.asarray(_vert_bank(tile))
+    strip_shape = (2, strip, wp) if db else (strip, wp)
     sem_shape = (2, 3) if db else (3,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 3
-        + [pl.BlockSpec((_TILE, _STRIP), lambda i: (0, 0))]
+        + [pl.BlockSpec((tile, strip), lambda i: (0, 0))]
         + [pl.BlockSpec((2 * _LANES, _LANES), lambda i: (0, 0))]
-        + [pl.BlockSpec((_TILE, w_pad), lambda i: (i, 0))] * 3,
-        out_specs=pl.BlockSpec((_TILE, w_pad), lambda i: (i, 0)),
+        + [pl.BlockSpec((tile, w_pad), lambda i: (i, 0))] * 3,
+        out_specs=pl.BlockSpec((tile, w_pad), lambda i: (i, 0)),
         scratch_shapes=[pltpu.VMEM(strip_shape, amp_p.dtype)] * 3
         + [pltpu.SemaphoreType.DMA(sem_shape)],
     )
@@ -276,10 +308,13 @@ def riesz_amplify_mxu(
     amplitude factor. vert: 'vpu' (13 sublane FMAs per block) or 'mxu' (one
     left-banded matmul per blur per tile); None reads LVMT_TAIL_VERT."""
     h, w = amplitude.shape
-    h_out = -(-h // _TILE) * _TILE
     n_blocks = -(-w // _LANES)
     w_pad = n_blocks * _LANES
     wp = (n_blocks + 1) * _LANES  # slab cols 128j .. 128j+255 must exist
+    tile, db = _resolve_geom(amplitude.dtype, lowpass.dtype, wp,
+                             _tile_mode(), _db_mode())
+    strip = _strip_h(tile)
+    h_out = -(-h // tile) * tile
 
     def prep_blur(x):
         # reflect-101 halo, then alignment padding (junk region never read
@@ -288,7 +323,7 @@ def riesz_amplify_mxu(
         p = jnp.pad(x, ((_HALO, _HALO), (_HALO, _HALO)), mode="reflect")
         return jnp.pad(
             p,
-            ((0, (h_out + _STRIP - _TILE) - (h + 2 * _HALO)),
+            ((0, (h_out + strip - tile) - (h + 2 * _HALO)),
              (0, wp - (w + 2 * _HALO))),
             mode="edge",
         )
@@ -303,5 +338,5 @@ def riesz_amplify_mxu(
                prep_ew(riesz_i), interpret=interpret, preweighted=preweighted,
                bf16=_mxu_bf16(), prec=_mxu_precision_name(),
                vert_mxu=(vert or _tail_vert_mode()) == "mxu",
-               db=_resolve_db(amplitude.dtype, wp, _db_mode()))
+               db=db, tile=tile)
     return out[:h, :w]

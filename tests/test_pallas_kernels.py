@@ -625,3 +625,35 @@ def test_conv9_band5_bf16_out_dtype(monkeypatch):
                                atol=scale_b / 64)
     np.testing.assert_allclose(np.asarray(i, np.float32), np.asarray(ref_i),
                                atol=scale_b / 64)
+
+
+def test_riesz_amplify_mxu_tile128_matches_tile64(monkeypatch):
+    """LVMT_TAIL_TILE=128 (half the DMA issues; fits VMEM only in the
+    all-bf16 pairing) == the tile-64 geometry, including a height that is
+    not a multiple of either tile."""
+    from live_video_magnification_tpu.ops.pallas.riesz_amplify_mxu import (
+        riesz_amplify_mxu,
+    )
+
+    h, w = 150, 200
+    r = lambda: jnp.asarray(RNG.random((h, w)).astype(np.float32) - 0.3)
+    amplitude = jnp.abs(r()) + 0.05
+    cc, cs = r() * 0.4, r() * 0.4
+    lp, rr, ri = r() * 50.0, r(), r()
+    alpha, threshold = 30.0, 1.2
+
+    monkeypatch.setenv("LVMT_TAIL_TILE", "64")
+    ref = riesz_amplify_mxu(amplitude, cc, cs, lp, rr, ri, alpha, threshold,
+                            interpret=True)
+    monkeypatch.setenv("LVMT_TAIL_TILE", "128")
+    got = riesz_amplify_mxu(amplitude, cc, cs, lp, rr, ri, alpha, threshold,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4,
+                               rtol=1e-4)
+    # db + tile128 together (the fast-pairing combination at bf16 strips)
+    monkeypatch.setenv("LVMT_TAIL_DB", "1")
+    got = riesz_amplify_mxu(amplitude.astype(jnp.bfloat16),
+                            cc.astype(jnp.bfloat16), cs.astype(jnp.bfloat16),
+                            lp, rr, ri, alpha, threshold, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.5,
+                               rtol=2e-2)
