@@ -360,7 +360,7 @@ def run_matrix(steps: int) -> list:
 
         prev = {k: _os.environ.get(k)
                 for k in ("LVMT_MXU_DTYPE", "LVMT_TAIL", "LVMT_TAIL_IO",
-                          "LVMT_PYR_IO")}
+                          "LVMT_PYR_IO", "LVMT_FAST_GAMMA")}
         _os.environ["LVMT_MXU_DTYPE"] = "bf16"
         _os.environ["LVMT_TAIL"] = "mxu"  # measured best fast-mode pairing
         _os.environ["LVMT_TAIL_IO"] = "bf16"  # round-5 (R5_TAILDB_AB)
@@ -548,7 +548,7 @@ def main() -> int:
 
         prev = {k: _os.environ.get(k)
                 for k in ("LVMT_MXU_DTYPE", "LVMT_TAIL", "LVMT_TAIL_IO",
-                          "LVMT_PYR_IO")}
+                          "LVMT_PYR_IO", "LVMT_FAST_GAMMA")}
         _os.environ["LVMT_MXU_DTYPE"] = "bf16"
         _os.environ["LVMT_TAIL"] = "mxu"
         _os.environ["LVMT_TAIL_IO"] = "bf16"

@@ -25,11 +25,74 @@ _T0_OFFSET = 16.0 / 116.0
 _L_THRESH = 903.3 * _T0  # == 7.99959...; L below this came from the linear branch
 
 
+def _cbrt_fast(x: jnp.ndarray) -> jnp.ndarray:
+    """x**(1/3) for x >= 0 via exponent-divide bit hack + 3 Newton steps:
+    max rel err 1.6e-7 over the Lab domains (f32-roundoff class) — replaces
+    exp(log(x)/3), the transcendental pair that made the color stage ~12x
+    its HBM bound (round-5 roofline). x == 0 converges toward (not exactly
+    to) 0 without NaN; every call site's branch guard discards that region."""
+    import jax as _jax
+    import numpy as _np
+
+    i = _jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    y = _jax.lax.bitcast_convert_type(i // 3 + _np.int32(0x2A508C37),
+                                      jnp.float32)
+    for _ in range(3):
+        y = (2.0 * y + x / (y * y)) * (1.0 / 3.0)
+    return y
+
+
+def _root5_fast(x: jnp.ndarray) -> jnp.ndarray:
+    """x**(1/5) for x > 0, same construction (max rel err 2.2e-7)."""
+    import jax as _jax
+    import numpy as _np
+
+    i = _jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    y = _jax.lax.bitcast_convert_type(i // 5 + _np.int32(0x32C82FE3),
+                                      jnp.float32)
+    for _ in range(3):
+        y4 = (y * y) * (y * y)
+        y = (4.0 * y + x / y4) * 0.2
+    return y
+
+
+def _fast_gamma() -> bool:
+    """LVMT_FAST_GAMMA=1: Newton-root gamma/cbrt instead of pow/cbrt
+    transcendentals (max rel err 2.2e-7 over the Lab domains). A RECORDED
+    NEGATIVE on TPU (R5_GAMMA_AB.json: fast step 6.8 -> 7.9 ms — the v5e's
+    transcendental unit evaluates pow/cbrt faster than 3 Newton steps' VPU
+    divisions); also wobbles the scan==stepwise BIT identity by 1 u8 LSB
+    via differing FMA contraction. Default OFF everywhere, kept as the
+    documented experiment (may pay on CPU backends). Trace-time env read,
+    keyed into the chain jit cache (models/chain.py)."""
+    import os
+
+    return os.environ.get("LVMT_FAST_GAMMA", "0") == "1"
+
+
 def _srgb_inverse_gamma(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.where(x <= 0.04045, x / 12.92, jnp.power((jnp.abs(x) + 0.055) / 1.055, 2.4))
+    if _fast_gamma():
+        # x**2.4 == (x**12)**(1/5) exactly; base in [0.052, 1.06] so x**12
+        # stays normal f32 (>= 1.7e-16)
+        base = (jnp.abs(x) + 0.055) / 1.055
+        b2 = base * base
+        b4 = b2 * b2
+        b12 = b4 * b4 * b4
+        return jnp.where(x <= 0.04045, x / 12.92, _root5_fast(b12))
+    return jnp.where(x <= 0.04045, x / 12.92,
+                     jnp.power((jnp.abs(x) + 0.055) / 1.055, 2.4))
 
 
 def _srgb_forward_gamma(x: jnp.ndarray) -> jnp.ndarray:
+    if _fast_gamma():
+        # x**(1/2.4) == x**(5/12) == sqrt(sqrt(cbrt(x**5))) exactly
+        xp = jnp.maximum(x, 0.0)
+        x5 = (xp * xp) * (xp * xp) * xp
+        return jnp.where(
+            x <= 0.0031308,
+            12.92 * x,
+            1.055 * jnp.sqrt(jnp.sqrt(_cbrt_fast(x5))) - 0.055,
+        )
     return jnp.where(
         x <= 0.0031308,
         12.92 * x,
@@ -38,7 +101,9 @@ def _srgb_forward_gamma(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _cie_f(t: jnp.ndarray) -> jnp.ndarray:
-    return jnp.where(t > _T0, jnp.cbrt(jnp.maximum(t, 0.0)), _T0_CBRT_SCALE * t + _T0_OFFSET)
+    cbrt = _cbrt_fast if _fast_gamma() else jnp.cbrt
+    return jnp.where(t > _T0, cbrt(jnp.maximum(t, 0.0)),
+                     _T0_CBRT_SCALE * t + _T0_OFFSET)
 
 
 def bgr_to_lab(bgr: jnp.ndarray) -> jnp.ndarray:

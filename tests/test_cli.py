@@ -217,7 +217,7 @@ def test_magnify_fast_flag_sets_mxu_dtype(clip_path, tmp_path, monkeypatch):
     # later pallas golden test into the fast mode), then delenv so --fast's
     # defaults apply.
     for var in ("LVMT_MXU_DTYPE", "LVMT_TAIL", "LVMT_TAIL_IO",
-                "LVMT_PYR_IO"):
+                "LVMT_PYR_IO", "LVMT_FAST_GAMMA"):
         monkeypatch.setenv(var, "sentinel")
         monkeypatch.delenv(var)
     out = str(tmp_path / "fast.avi")

@@ -72,3 +72,23 @@ def test_to_u8_rounding_and_saturation():
     ref = np.clip(np.rint(x), 0, 255).astype(np.uint8)  # cvRound = half-to-even
     got = np.asarray(to_u8(jnp.asarray(x)))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_fast_gamma_close_to_transcendental(monkeypatch):
+    """LVMT_FAST_GAMMA=1 (Newton-root gamma/cbrt, the --fast pairing) stays
+    within f32-roundoff of the pow/cbrt path across the full u8 round trip
+    and the Lab forward conversion."""
+    bgr = RNG.random((48, 48, 3)).astype(np.float32)
+    monkeypatch.delenv("LVMT_FAST_GAMMA", raising=False)
+    ref_lab = hwc(bgr_to_lab(jnp.asarray(chw(bgr))))
+    monkeypatch.setenv("LVMT_FAST_GAMMA", "1")
+    got_lab = hwc(bgr_to_lab(jnp.asarray(chw(bgr))))
+    assert np.abs(got_lab - ref_lab).max() < 1e-3  # Lab units (L in 0..100)
+
+    u8 = RNG.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    x = u8_to_unit_f32(jnp.asarray(chw(u8)))
+    got = to_u8(lab_to_bgr(bgr_to_lab(x)), 255.0, 1.0 / 255.0)
+    monkeypatch.delenv("LVMT_FAST_GAMMA")
+    ref = to_u8(lab_to_bgr(bgr_to_lab(x)), 255.0, 1.0 / 255.0)
+    d = np.abs(np.asarray(got).astype(int) - np.asarray(ref).astype(int))
+    assert d.max() <= 1  # one rounding LSB at most

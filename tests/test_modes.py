@@ -213,6 +213,7 @@ def test_chain_static_key_tracks_every_kernel_variant_flag(monkeypatch):
         ("LVMT_TAIL_DB", "auto", ["0", "1"]),
         ("LVMT_PYR_IO", "f32", ["bf16"]),
         ("LVMT_TAIL_TILE", "64", ["128", "auto"]),
+        ("LVMT_FAST_GAMMA", "0", ["1"]),
     ]:
         monkeypatch.delenv(var, raising=False)
         unset_key = key()
