@@ -313,6 +313,61 @@ def bench_display_present(h: int = 1080, w: int = 1920, n: int = 240) -> dict:
     }
 
 
+def bench_display_present_gl(h: int = 1080, w: int = 1920, n: int = 60) -> dict:
+    """The GL-class present path, EXECUTED (engine/gl_present.py): headless
+    EGL surfaceless context (Mesa llvmpipe in this image — a software
+    rasterizer, so these are conservative CPU numbers; a real GPU driver
+    pays only the texture upload) + upload-on-new-seq + letterboxed quad
+    draw + glFinish per present (DisplayWidget.cpp:133-236 semantics).
+    idle_ms = repaint with an unchanged seq (clear + draw, no upload) — the
+    ~120 Hz timer's steady cost when the pipeline is slower than the
+    present clock."""
+    import numpy as np
+
+    from live_video_magnification_tpu.engine.frame import Frame
+    from live_video_magnification_tpu.engine.gl_present import (
+        GLPresenter,
+        HeadlessGLContext,
+    )
+    from live_video_magnification_tpu.engine.mailbox import DisplayFrame
+
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8) for _ in range(4)]
+    ctx = HeadlessGLContext(w, h)
+    presenter = GLPresenter()
+    try:
+        def pair(seq):
+            img = imgs[seq % len(imgs)]
+            return DisplayFrame(Frame(seq=seq, data=img),
+                                Frame(seq=seq, data=img))
+
+        for seq in range(3):  # warm (shader compile, first raster)
+            presenter.paint(pair(seq), w, h)
+            ctx.swap()
+        t0 = time.monotonic()
+        for i in range(n):
+            presenter.paint(pair(3 + i), w, h)
+            ctx.swap()
+        dt = time.monotonic() - t0
+
+        last = pair(3 + n - 1)
+        t1 = time.monotonic()
+        for _ in range(n):
+            presenter.paint(last, w, h)  # seq unchanged: no upload
+            ctx.swap()
+        dt_idle = time.monotonic() - t1
+        uploads = presenter.uploads
+    finally:
+        presenter.destroy()
+        ctx.destroy()
+    return {
+        "fps": n / dt,
+        "present_ms": 1e3 * dt / n,
+        "idle_ms": 1e3 * dt_idle / n,
+        "uploads": uploads,
+    }
+
+
 def run_matrix(steps: int) -> list:
     """BASELINE.md benchmark configs. Returns a list of result dicts."""
     import jax
@@ -473,6 +528,29 @@ def run_matrix(steps: int) -> list:
         print(json.dumps(entry))
     except Exception as e:
         entry = {"metric": "display_present_1080p",
+                 "error": f"{type(e).__name__}: {e}"[:300]}
+        results.append(entry)
+        print(json.dumps(entry))
+
+    # GL-class present path (round 5): real OpenGL pipeline, headless EGL
+    try:
+        d = bench_display_present_gl()
+        entry = {
+            "metric": "display_present_gl_1080p",
+            "value": round(d["present_ms"], 2), "unit": "ms",
+            "fps_equivalent": round(d["fps"], 1),
+            "idle_repaint_ms": round(d["idle_ms"], 2),
+            "device": "cpu-host (Mesa llvmpipe software GL)",
+            "note": "engine/gl_present.py executed end-to-end: "
+                    "upload-on-new-seq + letterboxed textured quad + "
+                    "glFinish per present (DisplayWidget.cpp:133-236); "
+                    "software rasterizer — a GPU driver pays only the "
+                    "upload",
+        }
+        results.append(entry)
+        print(json.dumps(entry))
+    except Exception as e:
+        entry = {"metric": "display_present_gl_1080p",
                  "error": f"{type(e).__name__}: {e}"[:300]}
         results.append(entry)
         print(json.dumps(entry))

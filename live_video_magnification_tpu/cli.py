@@ -370,11 +370,44 @@ def cmd_live(args) -> int:
     if args.playback_fps is not None and not ctrl.is_camera:
         # file-source pacing override (reference StatusStrip.cpp:122-158)
         ctrl.set_playback_fps(args.playback_fps)
+
+    # --gl: the GL-class present path (DisplayWidget.cpp semantics) in a glfw
+    # window; runs on the MAIN thread (window-system requirement) with stats
+    # interleaved. Without a usable display the run degrades to stats-only.
+    gl_ctx = gl_presenter = None
+    if getattr(args, "gl", False):
+        try:
+            from live_video_magnification_tpu.engine.display import ViewMode
+            from live_video_magnification_tpu.engine.gl_present import (
+                GLPresenter,
+                WindowGLContext,
+            )
+
+            gl_ctx = WindowGLContext(960, 540, title="lvmt live")
+            gl_presenter = GLPresenter(
+                ctrl.instr, view_mode=ViewMode(args.view))
+        except Exception as e:  # no display / no GL driver
+            print(f"--gl unavailable ({e}); continuing stats-only",
+                  file=sys.stderr)
+            gl_ctx = gl_presenter = None
+
     ctrl.play()
     try:
         end = time.monotonic() + args.duration
+        next_stat = 0.0
         while time.monotonic() < end:
-            time.sleep(0.25)
+            if gl_ctx is not None:
+                if gl_ctx.should_close():
+                    break
+                gl_presenter.paint(ctrl.mailbox.latest(),
+                                   gl_ctx.width, gl_ctx.height)
+                gl_ctx.swap()  # vsync paces the present rate
+            else:
+                time.sleep(0.25)
+            now = time.monotonic()
+            if now < next_stat:
+                continue
+            next_stat = now + 0.25
             s = ctrl.stats()
             health = (
                 camera_health(s.drop_fraction) if ctrl.is_camera
@@ -390,6 +423,10 @@ def cmd_live(args) -> int:
         pass
     finally:
         print(file=sys.stderr)
+        if gl_presenter is not None:
+            gl_presenter.destroy()
+        if gl_ctx is not None:
+            gl_ctx.destroy()
         ctrl.close()
     return 0
 
@@ -533,6 +570,13 @@ def main(argv=None) -> int:
     p.add_argument("--duration", type=float, default=10.0)
     p.add_argument("--playback-fps", type=float, default=None,
                    help="override file-source playback pacing (ignored for cameras)")
+    p.add_argument("--gl", action="store_true",
+                   help="present in a GL window (glfw; falls back to "
+                        "stats-only without a display)")
+    p.add_argument("--view", default="processed",
+                   choices=["processed", "original", "side-by-side",
+                            "top-bottom"],
+                   help="--gl view mode (DisplayWidget pane layouts)")
     _add_mag_args(p)
     p.set_defaults(fn=cmd_live)
 

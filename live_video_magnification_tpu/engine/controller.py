@@ -369,5 +369,11 @@ class PlaybackController:
     def is_camera(self) -> bool:
         return self._is_camera
 
+    @property
+    def instr(self) -> Instrumentation:
+        """The pipeline's instrumentation — renderers share it so displayed /
+        skipped counters land in the same snapshot (DisplayWidget.cpp:229-234)."""
+        return self._instr
+
     def reported_fps(self) -> float:
         return self._source.reported_fps() if self._source else 0.0
