@@ -403,6 +403,7 @@ class WindowGLContext:
             glfw.terminate()
             raise RuntimeError("glfw.create_window failed")
         self.make_current()
+        glfw.swap_interval(1)  # vsync paces the present loop (~QOpenGLWidget)
 
     @property
     def width(self) -> int:

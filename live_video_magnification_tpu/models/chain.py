@@ -95,6 +95,7 @@ class _StaticKey(NamedTuple):
     pyr_io: str = "f32"          # LVMT_PYR_IO: pyramid band-plane dtype
     tail_tile: str = "64"        # LVMT_TAIL_TILE: amplify-kernel tile rows
     fast_gamma: str = "0"        # LVMT_FAST_GAMMA: Newton-root Lab gamma
+    tail_pack: str = "0"         # LVMT_TAIL_PACK: stacked one-DMA strips
 
 
 class ChainStep(NamedTuple):
@@ -292,6 +293,7 @@ class MagnificationChain:
             os.environ.get("LVMT_PYR_IO", "f32"),
             os.environ.get("LVMT_TAIL_TILE", "64"),
             os.environ.get("LVMT_FAST_GAMMA", "0"),
+            os.environ.get("LVMT_TAIL_PACK", "0"),
         )
 
     def process(self, frame_u8_hwc, cfg: ProcessorConfig):

@@ -93,22 +93,61 @@ def _tail_vert_mode() -> str:
     return os.environ.get("LVMT_TAIL_VERT", "mxu")
 
 
-def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, vbank_ref, bank_ref, lp_ref,
-            rr_ref, ri_ref, out_ref, amp_v, cc_v, cs_v, sems,
-            *, n_blocks: int, preweighted: bool, bf16: bool, prec: str,
-            vert_mxu: bool, db: bool, tile: int):
+def _kernel(scalars, *refs, n_blocks: int, preweighted: bool, bf16: bool,
+            prec: str, vert_mxu: bool, db: bool, tile: int, packed: bool):
+    if packed:
+        (stk_hbm, vbank_ref, bank_ref, lp_ref, rr_ref, ri_ref, out_ref,
+         stk_v, sems) = refs
+    else:
+        (amp_hbm, cc_hbm, cs_hbm, vbank_ref, bank_ref, lp_ref, rr_ref,
+         ri_ref, out_ref, amp_v, cc_v, cs_v, sems) = refs
     strip_rows = _strip_h(tile)
     ti = pl.program_id(0)
     alpha = scalars[0, 0]
     threshold = scalars[0, 1]
-    srcs = [amp_hbm, cc_hbm, cs_hbm]
-    dsts = [amp_v, cc_v, cs_v]
 
-    if db:
+    if packed:
+        # LVMT_TAIL_PACK=1: the three halo'd planes live as ONE stacked
+        # (3, Hp, Wp) array, so each grid step issues a single strided DMA
+        # instead of three (and the db prefetch one instead of three) —
+        # probing whether per-transfer issue overhead is part of the
+        # kernel's gap to its traffic bound (docs/ROUND5.md item 3)
+        if db:
+            def dma(slot, t):
+                return pltpu.make_async_copy(
+                    stk_hbm.at[:, pl.ds(t * tile, strip_rows), :],
+                    stk_v.at[slot], sems.at[slot])
+
+            slot = jax.lax.rem(ti, 2)
+
+            @pl.when(ti == 0)
+            def _():
+                dma(0, 0).start()
+
+            @pl.when(ti + 1 < pl.num_programs(0))
+            def _():
+                dma(jax.lax.rem(ti + 1, 2), ti + 1).start()
+
+            dma(slot, ti).wait()
+            base = stk_v.at[slot]
+        else:
+            cp = pltpu.make_async_copy(
+                stk_hbm.at[:, pl.ds(ti * tile, strip_rows), :], stk_v,
+                sems.at[0])
+            cp.start()
+            cp.wait()
+            base = stk_v
+
+        def strip(k):
+            return base.at[k]
+    elif db:
         # cross-step double buffer (LVMT_TAIL_DB): step ti prefetches step
         # ti+1's strips into the other slot while computing — the manual
         # strip DMAs were the one non-pipelined transfer left (the blocked
         # lp/rr/ri/out are pipelined by the grid machinery)
+        srcs = [amp_hbm, cc_hbm, cs_hbm]
+        dsts = [amp_v, cc_v, cs_v]
+
         def dma(slot, t, k):
             return pltpu.make_async_copy(
                 srcs[k].at[pl.ds(t * tile, strip_rows), :], dsts[k].at[slot],
@@ -133,6 +172,8 @@ def _kernel(scalars, amp_hbm, cc_hbm, cs_hbm, vbank_ref, bank_ref, lp_ref,
         def strip(k):
             return dsts[k].at[slot]
     else:
+        srcs = [amp_hbm, cc_hbm, cs_hbm]
+        dsts = [amp_v, cc_v, cs_v]
         copies = []
         for k in range(3):
             cp = pltpu.make_async_copy(
@@ -227,6 +268,18 @@ def _tile_mode() -> str:
     return os.environ.get("LVMT_TAIL_TILE", "64")
 
 
+def _tail_pack() -> bool:
+    """LVMT_TAIL_PACK in {0, 1}: stack the three halo'd blur inputs into one
+    (3, Hp, Wp) array so every grid step moves them with ONE strided DMA
+    (and one semaphore wait) instead of three. Same HBM bytes — the stack
+    fuses into the producers that had to materialize the planes anyway —
+    purely a DMA-issue-count probe (docs/ROUND5.md open item 3). Trace-time
+    env read, keyed into the chain jit cache."""
+    import os
+
+    return os.environ.get("LVMT_TAIL_PACK", "0") == "1"
+
+
 def _vmem_est(tile: int, db: bool, wp: int, strip_item: int,
               ew_item: int) -> int:
     strips = (2 if db else 1) * 3 * _strip_h(tile) * wp * strip_item
@@ -251,34 +304,50 @@ def _resolve_geom(strip_dtype, ew_dtype, wp: int, tile_mode: str,
 
 @functools.partial(
     jax.jit, static_argnames=("interpret", "preweighted", "bf16", "prec",
-                              "vert_mxu", "db", "tile")
+                              "vert_mxu", "db", "tile", "packed")
 )
-def _run(scalars, amp_p, cc_p, cs_p, lp_a, rr_a, ri_a,
+def _run(scalars, planes, lp_a, rr_a, ri_a,
          interpret: bool = False, preweighted: bool = False,
          bf16: bool = False, prec: str = "highest", vert_mxu: bool = False,
-         db: bool = False, tile: int = _TILE):
-    hp, wp = amp_p.shape          # (n_tiles*tile + strip - tile, blocks*128 + 128)
+         db: bool = False, tile: int = _TILE, packed: bool = False):
+    # planes: a 3-tuple of (Hp, Wp) halo'd arrays, or — packed — ONE
+    # stacked (3, Hp, Wp) array moved with a single strided DMA per step
+    if packed:
+        hp, wp = planes.shape[1:]
+        strip_dtype = planes.dtype
+        plane_args = (planes,)
+    else:
+        hp, wp = planes[0].shape  # (n_tiles*tile + strip - tile, blocks*128 + 128)
+        strip_dtype = planes[0].dtype
+        plane_args = tuple(planes)
     h_out, w_pad = lp_a.shape     # aligned output size
     strip = _strip_h(tile)
     n_tiles = h_out // tile
     n_blocks = w_pad // _LANES
     kernel = functools.partial(_kernel, n_blocks=n_blocks,
                                preweighted=preweighted, bf16=bf16, prec=prec,
-                               vert_mxu=vert_mxu, db=db, tile=tile)
+                               vert_mxu=vert_mxu, db=db, tile=tile,
+                               packed=packed)
     bank = jnp.asarray(_blur_bank())
     vbank = jnp.asarray(_vert_bank(tile))
-    strip_shape = (2, strip, wp) if db else (strip, wp)
-    sem_shape = (2, 3) if db else (3,)
+    if packed:
+        strip_shape = (2, 3, strip, wp) if db else (3, strip, wp)
+        sem_shape = (2,) if db else (1,)
+        strip_scratch = [pltpu.VMEM(strip_shape, strip_dtype)]
+    else:
+        strip_shape = (2, strip, wp) if db else (strip, wp)
+        sem_shape = (2, 3) if db else (3,)
+        strip_scratch = [pltpu.VMEM(strip_shape, strip_dtype)] * 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        + [pl.BlockSpec(memory_space=pl.ANY)] * len(plane_args)
         + [pl.BlockSpec((tile, strip), lambda i: (0, 0))]
         + [pl.BlockSpec((2 * _LANES, _LANES), lambda i: (0, 0))]
         + [pl.BlockSpec((tile, w_pad), lambda i: (i, 0))] * 3,
         out_specs=pl.BlockSpec((tile, w_pad), lambda i: (i, 0)),
-        scratch_shapes=[pltpu.VMEM(strip_shape, amp_p.dtype)] * 3
+        scratch_shapes=strip_scratch
         + [pltpu.SemaphoreType.DMA(sem_shape)],
     )
     return pl.pallas_call(
@@ -286,7 +355,7 @@ def _run(scalars, amp_p, cc_p, cs_p, lp_a, rr_a, ri_a,
         out_shape=jax.ShapeDtypeStruct((h_out, w_pad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(scalars, amp_p, cc_p, cs_p, vbank, bank, lp_a, rr_a, ri_a)
+    )(scalars, *plane_args, vbank, bank, lp_a, rr_a, ri_a)
 
 
 def riesz_amplify_mxu(
@@ -333,10 +402,16 @@ def riesz_amplify_mxu(
 
     scalars = jnp.stack([jnp.asarray(alpha, jnp.float32),
                          jnp.asarray(threshold, jnp.float32)]).reshape(1, 2)
-    out = _run(scalars, prep_blur(amplitude), prep_blur(change_c),
-               prep_blur(change_s), prep_ew(lowpass), prep_ew(riesz_r),
+    packed = _tail_pack()
+    if packed:
+        planes = jnp.stack([prep_blur(amplitude), prep_blur(change_c),
+                            prep_blur(change_s)])
+    else:
+        planes = (prep_blur(amplitude), prep_blur(change_c),
+                  prep_blur(change_s))
+    out = _run(scalars, planes, prep_ew(lowpass), prep_ew(riesz_r),
                prep_ew(riesz_i), interpret=interpret, preweighted=preweighted,
                bf16=_mxu_bf16(), prec=_mxu_precision_name(),
                vert_mxu=(vert or _tail_vert_mode()) == "mxu",
-               db=db, tile=tile)
+               db=db, tile=tile, packed=packed)
     return out[:h, :w]

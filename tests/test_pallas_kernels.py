@@ -219,6 +219,34 @@ def test_riesz_amplify_mxu_vert_mxu_matches_vpu(h, w, preweighted):
                                rtol=1e-4)
 
 
+@pytest.mark.parametrize("db", ["0", "1"])
+def test_riesz_amplify_mxu_packed_strips_bit_identical(db, monkeypatch):
+    """LVMT_TAIL_PACK=1 (the three halo'd blur inputs stacked into one
+    (3, Hp, Wp) array, ONE strided DMA per grid step) is bit-identical to
+    the three-DMA layout, with and without the cross-step double buffer —
+    the packing only changes how bytes move, never what is computed
+    (round-5 DMA-issue-count probe, docs/ROUND5.md item 3)."""
+    from live_video_magnification_tpu.ops.pallas.riesz_amplify_mxu import (
+        riesz_amplify_mxu,
+    )
+
+    h, w = 100, 150
+    r = lambda: jnp.asarray(RNG.random((h, w)).astype(np.float32) - 0.3)
+    amplitude = jnp.abs(r()) + 0.05
+    cc, cs = r() * 0.4, r() * 0.4
+    lp, rr, ri = r() * 50.0, r(), r()
+    alpha, threshold = 30.0, 1.2
+
+    monkeypatch.setenv("LVMT_TAIL_DB", db)
+    monkeypatch.setenv("LVMT_TAIL_PACK", "0")
+    ref = riesz_amplify_mxu(amplitude, cc, cs, lp, rr, ri, alpha, threshold,
+                            interpret=True)
+    monkeypatch.setenv("LVMT_TAIL_PACK", "1")
+    got = riesz_amplify_mxu(amplitude, cc, cs, lp, rr, ri, alpha, threshold,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_riesz_amplify_mxu_bf16_transients_close_to_f32():
     """LVMT_TAIL_IO=bf16 path: the kernel accepts bfloat16 amplitude/change
     planes (half the strip HBM bytes) and stays within bf16 quantization of
