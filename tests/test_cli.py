@@ -110,6 +110,16 @@ def test_live_synthetic_runs(capsys):
                      "--mode", "laplace"]) == 0
 
 
+def test_live_gl_degrades_without_display(capsys, monkeypatch):
+    """`lvmt live --gl` with no usable GL window (this image has no X
+    server, so glfw.init fails) must fall back to stats-only and still
+    exit 0 (engine/gl_present.py wiring, DisplayWidget present path)."""
+    monkeypatch.delenv("DISPLAY", raising=False)
+    assert cli.main(["live", "--size", "48", "64", "--duration", "1.0",
+                     "--mode", "laplace", "--gl", "--view", "side-by-side"]) == 0
+    assert "--gl unavailable" in capsys.readouterr().err
+
+
 def test_magnify_resume_writes_part_file_not_truncating(clip_path, tmp_path,
                                                         monkeypatch):
     """A resumed run must NOT truncate the partial output of the interrupted
