@@ -430,11 +430,12 @@ def run_matrix(steps: int) -> list:
                     _os.environ[k] = v
 
     add("phase_4k_bf16_fastmode_fps_per_chip", 60.0, bf16_4k,
-        note="LVMT_MXU_DTYPE=bf16 + LVMT_TAIL=mxu + LVMT_TAIL_IO=bf16 "
-             "opt-in fast mode (bf16 banded stencils + MXU-banded blur tail "
-             "with MXU vertical taps, double-buffered strips, bf16 "
-             "transients — round-5 pairing, 8.19 -> 7.59/7.69 ms same-"
-             "session A/Bs R5_TAILIO_AB/R5_TAILDB_AB): 44.1 dB vs the f32 "
+        note="LVMT_MXU_DTYPE=bf16 + LVMT_TAIL=mxu + LVMT_TAIL_IO=bf16 + "
+             "LVMT_PYR_IO=bf16 opt-in fast mode (bf16 banded stencils + "
+             "MXU-banded blur tail with MXU vertical taps, double-buffered "
+             "strips, bf16 transient AND pyramid band planes — full round-5 "
+             "pairing, 8.19 -> 7.6 -> 6.85 ms same-session A/Bs "
+             "R5_TAILIO_AB/R5_TAILDB_AB/R5_PYRIO_AB): 44.0 dB vs the f32 "
              "path on harsh synthetic 720p content, 48.8 dB worst-frame vs "
              "the compiled reference on realistic footage; default stays f32")
     add("phase_1080p_timeparallel_fps_per_chip", 60.0,
