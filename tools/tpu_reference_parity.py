@@ -29,7 +29,10 @@ import sys
 
 
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "TPU_REFERENCE_PARITY.json"
+    # first non-flag argument is the output path (so `--fast-too` alone
+    # cannot be mistaken for a filename)
+    paths = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_path = paths[0] if paths else "TPU_REFERENCE_PARITY.json"
 
     import numpy as np
     import jax
