@@ -334,8 +334,9 @@ def bench_display_present_gl(h: int = 1080, w: int = 1920, n: int = 60) -> dict:
     rng = np.random.default_rng(0)
     imgs = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8) for _ in range(4)]
     ctx = HeadlessGLContext(w, h)
-    presenter = GLPresenter()
+    presenter = None
     try:
+        presenter = GLPresenter()
         def pair(seq):
             img = imgs[seq % len(imgs)]
             return DisplayFrame(Frame(seq=seq, data=img),
@@ -358,7 +359,8 @@ def bench_display_present_gl(h: int = 1080, w: int = 1920, n: int = 60) -> dict:
         dt_idle = time.monotonic() - t1
         uploads = presenter.uploads
     finally:
-        presenter.destroy()
+        if presenter is not None:
+            presenter.destroy()
         ctx.destroy()
     return {
         "fps": n / dt,

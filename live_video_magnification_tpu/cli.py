@@ -389,6 +389,8 @@ def cmd_live(args) -> int:
         except Exception as e:  # no display / no GL driver
             print(f"--gl unavailable ({e}); continuing stats-only",
                   file=sys.stderr)
+            if gl_ctx is not None:  # window opened but the GL init failed
+                gl_ctx.destroy()
             gl_ctx = gl_presenter = None
 
     ctrl.play()

@@ -198,28 +198,28 @@ class GLPresenter:
 
     def _upload(self, img: np.ndarray, tex: _Tex) -> None:
         """(Re)upload one frame: GL_R8 for gray, GL_RGB8 for BGR-as-RGB;
-        row padding handled via GL_UNPACK_ROW_LENGTH; geometry change →
-        glTexImage2D re-alloc, else glTexSubImage2D
-        (DisplayWidget.cpp:133-158)."""
+        geometry change → glTexImage2D re-alloc, else glTexSubImage2D
+        (DisplayWidget.cpp:133-158).
+
+        Row-padded / non-contiguous views (pooled-arena slots, ROI crops)
+        are densified here. The reference hands GL the raw padded cv::Mat
+        pointer and declares the stride via GL_UNPACK_ROW_LENGTH
+        (DisplayWidget.cpp:141-143); PyOpenGL copies a non-C-contiguous
+        ndarray to a DENSE buffer before the call, so a stride-derived
+        ROW_LENGTH would describe memory GL never sees (rows shift, the
+        tail reads past the copy). Densify explicitly and keep the default
+        tight unpack instead."""
         GL = self._gl
         if img.dtype != np.uint8:
             img = np.clip(img, 0, 255).astype(np.uint8)
         ch = 1 if img.ndim == 2 else int(img.shape[2])
         h, w = int(img.shape[0]), int(img.shape[1])
-        pixel_contig = img.strides[-1] == 1 and (
-            img.ndim == 2 or img.strides[1] == ch
-        )
-        if pixel_contig and img.strides[0] % ch == 0:
-            row_px = img.strides[0] // ch
-        else:
-            img = np.ascontiguousarray(img)
-            row_px = w
+        img = np.ascontiguousarray(img)
         internal = GL.GL_R8 if ch == 1 else GL.GL_RGB8
         fmt = GL.GL_RED if ch == 1 else GL.GL_RGB
 
         GL.glBindTexture(GL.GL_TEXTURE_2D, tex.tex_id)
         GL.glPixelStorei(GL.GL_UNPACK_ALIGNMENT, 1)
-        GL.glPixelStorei(GL.GL_UNPACK_ROW_LENGTH, row_px)
         if (w, h, ch) != (tex.w, tex.h, tex.channels):
             GL.glTexImage2D(GL.GL_TEXTURE_2D, 0, internal, w, h, 0, fmt,
                             GL.GL_UNSIGNED_BYTE, img)
@@ -229,7 +229,6 @@ class GLPresenter:
             GL.glTexSubImage2D(GL.GL_TEXTURE_2D, 0, 0, 0, w, h, fmt,
                                GL.GL_UNSIGNED_BYTE, img)
         self.uploads += 1
-        GL.glPixelStorei(GL.GL_UNPACK_ROW_LENGTH, 0)
         GL.glBindTexture(GL.GL_TEXTURE_2D, 0)
 
     # -- draw ------------------------------------------------------------
@@ -263,7 +262,12 @@ class GLPresenter:
         fresh = False
         if pair is not None and pair.processed is not None:
             seq = pair.processed.seq
-            if seq != self._last_seq:
+            # monotonic like DisplayLoop.poll_once (display.py): a stale
+            # lower-seq pair racing a restart's mailbox.clear() is ignored,
+            # where the reference's plain `!=` would re-present it
+            # (DisplayWidget.cpp:221) — both renderers must account
+            # identically into the shared Instrumentation
+            if self._last_seq is None or seq > self._last_seq:
                 need_proc = self.view_mode is not ViewMode.ORIGINAL
                 need_orig = self.view_mode is not ViewMode.PROCESSED
                 if need_proc:
@@ -459,8 +463,9 @@ class GLDisplayLoop:
 
     def _run(self) -> None:
         self._ctx.make_current()
-        presenter = GLPresenter(self._instr, self._view_mode)
+        presenter = None
         try:
+            presenter = GLPresenter(self._instr, self._view_mode)
             while not self._stop.wait(self._interval):
                 if getattr(self._ctx, "should_close", lambda: False)():
                     break
@@ -468,9 +473,11 @@ class GLDisplayLoop:
                                 self._ctx.width, self._ctx.height)
                 self._ctx.swap()
         finally:
-            presenter.destroy()
+            if presenter is not None:
+                presenter.destroy()
             # a context left current in an exited thread stays unusable
-            # everywhere — unbind before the thread dies
+            # everywhere — unbind before the thread dies (also on a failed
+            # presenter construction, e.g. a shader compile error)
             release = getattr(self._ctx, "release_current", None)
             if release is not None:
                 release()

@@ -115,6 +115,8 @@ def test_live_gl_degrades_without_display(capsys, monkeypatch):
     server, so glfw.init fails) must fall back to stats-only and still
     exit 0 (engine/gl_present.py wiring, DisplayWidget present path)."""
     monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)  # glfw can be
+    monkeypatch.delenv("XDG_SESSION_TYPE", raising=False)  # Wayland-built
     assert cli.main(["live", "--size", "48", "64", "--duration", "1.0",
                      "--mode", "laplace", "--gl", "--view", "side-by-side"]) == 0
     assert "--gl unavailable" in capsys.readouterr().err

@@ -130,14 +130,42 @@ def test_geometry_change_reallocates(ctx, presenter):
     assert (presenter.uploads, presenter.reallocs) == (3, 2)  # re-alloc
 
 
-def test_row_padded_frame_uploads_correctly(ctx, presenter):
-    # a pooled-arena-style view: row stride wider than width*channels
-    backing = np.zeros((48, 80, 3), np.uint8)
-    view = backing[:, :64]
-    view[:, :, 1] = 200  # green in BGR
-    presenter.paint(pair(view, seq=0), W, H)
+def _painted_content_matches(ctx, presenter, view):
+    """Paint a (48, 64, 3) BGR frame into the 128x96 fb (fills it exactly
+    at 2x) and check several probe pixels carry the RIGHT row/col content —
+    uniform-color checks cannot catch stride/row-shift upload bugs."""
+    presenter.paint(pair(np.ascontiguousarray(view) * 0, seq=0), W, H)  # alloc
+    presenter.paint(pair(view, seq=1), W, H)
     out = ctx.read_pixels()
-    assert tuple(out[H // 2, W // 2]) == (0, 200, 0)
+    for fy, fx in [(5, 5), (5, 58), (42, 5), (42, 58), (24, 32)]:
+        # nearest sample of the 2x-scaled texel; GL_LINEAR at texel centers
+        got = out[fy * 2 + 1, fx * 2 + 1].astype(int)
+        b, g, r = (int(v) for v in view[fy, fx])
+        assert abs(got[0] - r) <= 2 and abs(got[1] - g) <= 2 \
+            and abs(got[2] - b) <= 2, (fy, fx, got, (r, g, b))
+
+
+def test_row_padded_frame_uploads_correctly(ctx, presenter):
+    # a pooled-arena-style view with REAL per-pixel content: row stride
+    # wider than width*channels. PyOpenGL densifies non-contiguous views,
+    # so a stride-derived GL_UNPACK_ROW_LENGTH would shift every row
+    # (regression: caught by the round-5 code review, rows read heap junk)
+    backing = np.zeros((48, 80, 3), np.uint8)
+    y = np.arange(48, dtype=np.uint8)[:, None] * 4
+    x = np.arange(80, dtype=np.uint8)[None, :] * 3
+    backing[:, :, 0] = y            # B encodes the row
+    backing[:, :, 1] = x            # G encodes the column
+    backing[:, :, 2] = 200
+    _painted_content_matches(ctx, presenter, backing[:, :64])
+
+
+def test_flipped_view_uploads_correctly(ctx, presenter):
+    # negative-stride view (img[::-1]): must densify, not hand GL a
+    # negative row length
+    img = np.zeros((48, 64, 3), np.uint8)
+    img[:, :, 0] = np.arange(48, dtype=np.uint8)[:, None] * 4
+    img[:, :, 1] = np.arange(64, dtype=np.uint8)[None, :] * 3
+    _painted_content_matches(ctx, presenter, img[::-1])
 
 
 def test_side_by_side_panes(ctx):
