@@ -225,6 +225,40 @@ def test_empty_mailbox_paints_black(ctx, presenter):
     assert out.max() == 0
 
 
+def test_gl_loop_presents_live_engine_frames(ctx):
+    """The full `lvmt live --gl` seam: PlaybackController (synthetic source,
+    real processing chain) -> mailbox -> GLDisplayLoop on the headless
+    context; displayed frames accumulate in the controller's shared
+    Instrumentation (DisplayWidget.cpp:229-236 accounting)."""
+    from live_video_magnification_tpu.engine.controller import PlaybackController
+    from live_video_magnification_tpu.models.params import (
+        MagnificationMode,
+        MagnificationParams,
+    )
+
+    ctrl = PlaybackController()
+    ctrl.set_magnification(MagnificationParams(
+        mode=MagnificationMode.LAPLACE, amplification=10.0,
+        co_low=0.3, co_high=0.6, levels=2, framerate=30.0))
+    assert ctrl.open_synthetic(h=48, w=64, fps=30.0)
+    ctx.release_current()
+    loop = GLDisplayLoop(ctrl.mailbox, ctrl.instr, ctx, poll_hz=240.0)
+    ctrl.play()
+    loop.start()
+    try:
+        deadline = time.monotonic() + 60.0  # first jit compile dominates
+        while (ctrl.stats().displayed < 3
+               and time.monotonic() < deadline):
+            time.sleep(0.1)
+    finally:
+        loop.stop()
+        ctrl.close()
+    assert ctrl.stats().displayed >= 3
+    ctx.make_current()
+    out = ctx.read_pixels()
+    assert out.max() > 0  # the painted frame reached the framebuffer
+
+
 def test_gl_display_loop_end_to_end(ctx):
     mailbox = LatestFrameMailbox()
     instr = Instrumentation()
