@@ -638,7 +638,8 @@ def main() -> int:
             rf = bench_mode_scan(args.mode, h, w, levels, args.steps)
             entry["fast_mode_fps"] = round(rf["fps"], 2)
             entry["note"] = ("default f32 path; fast_mode_fps = LVMT_MXU_DTYPE"
-                            "=bf16 + LVMT_TAIL=mxu (48.8 dB worst vs the "
+                            "=bf16 + LVMT_TAIL=mxu + LVMT_TAIL_IO=bf16 + "
+                            "LVMT_PYR_IO=bf16 (48.8 dB worst vs the "
                             "compiled reference)")
         except Exception:
             pass

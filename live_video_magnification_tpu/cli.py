@@ -5,7 +5,8 @@ CLI over the same engine/controller/export stack:
 
   lvmt info <video>                     container info + max pyramid levels
   lvmt magnify <in> <out> [params]      offline magnification (batched TPU path)
-  lvmt live [--camera N | --synthetic]  streaming pipeline with live stats
+  lvmt live [--camera N | --video F]    streaming pipeline with live stats
+                                        (synthetic source when neither given)
   lvmt cameras                          enumerate capture devices
   lvmt bench [...]                      forwards to bench.py
 
