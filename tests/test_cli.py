@@ -122,6 +122,56 @@ def test_live_gl_degrades_without_display(capsys, monkeypatch):
     assert "--gl unavailable" in capsys.readouterr().err
 
 
+def test_live_gl_success_path_presents_headless(monkeypatch):
+    """`lvmt live --gl`'s SUCCESS branch — the main-thread paint/swap/stat
+    loop in cmd_live (DisplayWidget present semantics) — executed headless by
+    standing the EGL surfaceless context in for the glfw window. Asserts the
+    engine's frames actually reach the GL textures (uploads advance) and the
+    window-close exit works."""
+    pytest.importorskip("OpenGL")
+    import time
+
+    from live_video_magnification_tpu.engine import gl_present
+
+    if not gl_present.gl_available():
+        pytest.skip("no EGL surfaceless GL context in this image")
+
+    caps = {}
+    real_presenter = gl_present.GLPresenter
+
+    class _Presenter(real_presenter):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            caps["presenter"] = self
+
+    class _Ctx(gl_present.HeadlessGLContext):
+        """HeadlessGLContext + the window-only surface cmd_live touches
+        (should_close); swap sleeps like vsync so the chain's first jit
+        compile is not starved on a 2-core host."""
+
+        def __init__(self, w, h, title=""):
+            super().__init__(w, h)
+            self.swaps = 0
+            self.deadline = time.monotonic() + 90.0
+
+        def should_close(self):
+            p = caps.get("presenter")
+            done = p is not None and p.uploads >= 2 and self.swaps >= 3
+            return done or time.monotonic() > self.deadline
+
+        def swap(self):
+            self.swaps += 1
+            super().swap()
+            time.sleep(1.0 / 120.0)
+
+    monkeypatch.setattr(gl_present, "GLPresenter", _Presenter)
+    monkeypatch.setattr(gl_present, "WindowGLContext", _Ctx)
+    assert cli.main(["live", "--size", "48", "64", "--duration", "300",
+                     "--mode", "laplace", "--levels", "2", "--gl"]) == 0
+    assert caps["presenter"].uploads >= 2  # real frames hit the textures
+    assert caps["presenter"].reallocs >= 1  # first geometry allocation ran
+
+
 def test_magnify_resume_writes_part_file_not_truncating(clip_path, tmp_path,
                                                         monkeypatch):
     """A resumed run must NOT truncate the partial output of the interrupted
