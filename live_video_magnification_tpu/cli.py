@@ -507,13 +507,13 @@ def cmd_record(args) -> int:
     return 0
 
 
-def cmd_bench(args) -> int:
+def cmd_bench(rest) -> int:
     import runpy
     import os
 
     bench = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                          "bench.py")
-    sys.argv = [bench] + list(args.rest)
+    sys.argv = [bench] + list(rest)
     runpy.run_path(bench, run_name="__main__")
     return 0
 
@@ -530,6 +530,19 @@ def cmd_cameras(_args) -> int:
 
 
 def main(argv=None) -> int:
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+
+    # `bench` forwards its whole tail to bench.py verbatim, BEFORE argparse:
+    # a sub-parser REMAINDER cannot carry unknown flags (`lvmt bench --small`
+    # dies at the top-level parser — the long-standing argparse REMAINDER-in-
+    # subparser limitation), and a `--` separator would leak into bench.py's
+    # own parser. An optional leading `--` is accepted and stripped.
+    if argv[:1] == ["bench"]:
+        rest = argv[1:]
+        if rest[:1] == ["--"]:
+            rest = rest[1:]
+        return cmd_bench(rest)
+
     ap = argparse.ArgumentParser(prog="lvmt", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -600,9 +613,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("cameras", help="enumerate capture devices")
     p.set_defaults(fn=cmd_cameras)
 
-    p = sub.add_parser("bench", help="run the headline benchmark (bench.py)")
+    p = sub.add_parser("bench", help="run the headline benchmark (bench.py); "
+                                     "all following args go to bench.py")
     p.add_argument("rest", nargs=argparse.REMAINDER)
-    p.set_defaults(fn=cmd_bench)
+    # unreachable (bench is intercepted above) — kept so `lvmt --help` lists it
+    p.set_defaults(fn=lambda a: cmd_bench(a.rest))
 
     args = ap.parse_args(argv)
     return args.fn(args)

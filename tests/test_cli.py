@@ -321,3 +321,29 @@ def test_magnify_split_composition(clip_path, tmp_path):
                      "--chunk", "5", "--split", "left-right", "--labels"]) == 0
     frames = _read(out)
     assert frames.shape[1:] == (64, 160, 3)  # width doubled by the panes
+
+
+def test_cameras_subcommand_runs(capsys):
+    """`lvmt cameras` (CameraSelectDialog's data source) exits 0 and prints
+    either enumerated `idx: name` lines or the explicit none message — this
+    image has no /dev/video* nodes, so typically the latter."""
+    assert cli.main(["cameras"]) == 0
+    out = capsys.readouterr().out
+    assert out.strip()
+    for line in out.strip().splitlines():
+        assert line == "no cameras found" or line.split(":")[0].isdigit()
+
+
+def test_bench_subcommand_forwards_to_bench_py(capsys, monkeypatch):
+    """`lvmt bench ...` forwards its whole tail to the repo-root bench.py
+    verbatim (flags included — argparse's REMAINDER-in-subparser limitation
+    means the tail must bypass the lvmt parser), with an optional leading
+    `--` stripped. --help exercises the real forwarding (path resolution,
+    argv splice, runpy execution) without touching a device — bench.py
+    imports jax only inside its benchmark functions."""
+    monkeypatch.setattr("sys.argv", ["lvmt"])  # cmd_bench splices over argv
+    for form in (["bench", "--help"], ["bench", "--", "--help"]):
+        with pytest.raises(SystemExit) as exc:  # bench.py argparse exits 0
+            cli.main(form)
+        assert (exc.value.code or 0) == 0
+        assert "--matrix" in capsys.readouterr().out
